@@ -1,0 +1,81 @@
+"""User-facing Engine facade (the analogue of the reference's Database:
+engine/src/lib.rs:69-110 parse_query/phrase_query/query/get_doc)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import query as Q
+from .operators.build import build_index
+from .operators.highlight import add_highlights
+from .plans.parser import And, Expr, Literal, Or, parse_query
+from .tokenizer import tokenize_terms
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index = Q.Index(spark, index_dir)
+
+    # -- build ----------------------------------------------------------
+    @classmethod
+    def build(
+        cls, spark: SparkSession, source: DataFrame | str, index_dir: str, **kw
+    ) -> "Engine":
+        build_index(spark, source, index_dir, **kw)
+        return cls(spark, index_dir)
+
+    # -- queries ----------------------------------------------------------
+    def search(
+        self, query: str, k: int = 10, where: str | None = None, optimize: bool = True
+    ) -> DataFrame:
+        """BM25 top-k: (doc_id, turn_idx, score)."""
+        return Q.search(self.index, query, k=k, where=where, optimize=optimize)
+
+    def search_highlighted(
+        self, query: str, k: int = 10, where: str | None = None
+    ) -> DataFrame:
+        """top-k + snippet parts (joie always generates snippets,
+        reference README.md:5)."""
+        res = self.search(query, k=k, where=where)
+        expr = parse_query(query)
+        phrases = [tokenize_terms(t) for t in _lits(expr)]
+        # keyword highlighting applies to single-term literals via the
+        # keywords fast path; phrase spans of length 1 are identical, so
+        # phrase spans subsume them.
+        return add_highlights(res, self.index.turns, phrases, [])
+
+    def match_set(self, query: str) -> DataFrame:
+        """Unranked matches in (doc_id, turn_idx) order — the reference's
+        native output (searcher.rs:37-52)."""
+        return Q.match_set(self.index, query)
+
+    def phrase(self, text: str, k: int = 10, where: str | None = None) -> DataFrame:
+        """Programmatic phrase query (Database::phrase_query,
+        engine/src/lib.rs:100-110)."""
+        return self.search('"' + text.replace('"', " ") + '"', k=k, where=where)
+
+    def keywords(self, words: list[str], k: int = 10) -> DataFrame:
+        """Programmatic keyword-OR query (QueryBuilder::keywords,
+        engine/src/query/mod.rs:94-102)."""
+        q = " OR ".join(w.replace('"', " ") for w in words)
+        return self.search(q, k=k)
+
+    def get_doc(self, doc_id: int) -> DataFrame:
+        """All turns of a conversation (Database::get_doc, lib.rs:104-110)."""
+        return self.index.turns.where(F.col("doc_id") == doc_id).orderBy("turn_idx")
+
+    def explain(self, query: str, where: str | None = None) -> str:
+        return self.search(query, where=where)._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+
+def _lits(expr: Expr) -> list[str]:
+    if isinstance(expr, Literal):
+        return [expr.text]
+    assert isinstance(expr, (And, Or))
+    return _lits(expr.lhs) + _lits(expr.rhs)

@@ -1,0 +1,324 @@
+"""Distributed inverted-index build (the Spark analogue of
+DatabaseBuilder::add_document + build_in, reference engine/src/builder.rs:58-143).
+
+Pipeline (each stage is a manifest-committed checkpoint; SURVEY.md §3.3):
+
+  1. turns      read transcripts → dense doc_id over sorted conv_ids →
+                Arrow-vectorized tokenizer UDF (segmentation → lowercase →
+                Snowball stem; term_map.rs:28-67) → row store.
+  2. term_dict  global term dictionary with df/cf; ids = row rank over the
+                lexicographically sorted vocabulary, starting at 1
+                (0 = OOV; term_map.rs:69-73, 94-99).
+  3. stats      N, total_dl, avgdl — the BM25 global aggregates.
+  4. postings   explode (term, position) → join dict → group to
+                (term_id, doc_id, turn_idx, tf, positions, dl), written
+                hive-partitioned by bucket = term_id % n_buckets and
+                sorted (term_id, doc_id, turn_idx) within files — the
+                distributed `sort(); dedup()` of builder.rs:99-102.
+  5. blocks     delta+varint compressed posting blocks with per-block
+                block-max metadata for WAND; grouped by
+                (term_id, block_id = doc_id // docs_per_block).
+
+Skew note (north rule): hot stemmed terms (>10% of turns) never become a
+single shuffle key — the build groups on fine-grained composite keys
+((term,doc,turn) then (term,block)), so a hot term's postings spread over
+~n_docs/docs_per_block groups.  block_id doubles as the deterministic
+"salt": blocks are disjoint doc ranges, so the per-term posting list is
+the order-preserving concatenation of its blocks and needs no second
+merge pass.  Cross-index shard merging with explicit salting lives in
+operators/merge.py.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.codec import TURN_BITS, delta_encode, varint_encode
+from ..oracle import B, K1
+from ..sources.tables import Manifest, dir_bytes, read_stats, table_path, write_stats
+
+TOK_SCHEMA = T.StructType(
+    [
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("starts", T.ArrayType(T.IntegerType())),
+        T.StructField("ends", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+@F.pandas_udf(TOK_SCHEMA)
+def tokenize_udf(texts: pd.Series) -> pd.DataFrame:
+    """Arrow-vectorized tokenizer (no per-row Python UDF; the stemmer is
+    memoized per unique token via lru_cache — SURVEY.md §1.3)."""
+    from ..tokenizer import tokenize
+
+    terms, starts, ends = [], [], []
+    for text in texts:
+        toks = tokenize(text or "")
+        terms.append([t.term for t in toks])
+        starts.append([t.start for t in toks])
+        ends.append([t.end for t in toks])
+    return pd.DataFrame({"terms": terms, "starts": starts, "ends": ends})
+
+
+def assign_dense_ids(df: DataFrame, col: str, out: str, start: int = 1) -> DataFrame:
+    """Deterministic dense ids over the sorted distinct values of `col`.
+
+    Avoids a single-partition window: range-repartition + sort gives a
+    global total order, and zipWithIndex assigns contiguous ranks that are
+    independent of the parallelism level (same total order at local[8]
+    and local[32]) — the scalable analogue of joie's insertion-order
+    interning (term_map.rs:69-73) made deterministic.
+    """
+    spark = df.sparkSession
+    distinct = df.select(col).distinct().repartitionByRange(F.col(col)).sortWithinPartitions(col)
+    rdd = distinct.rdd.map(lambda r: r[0]).zipWithIndex().map(
+        lambda kv: (kv[0], kv[1] + start)
+    )
+    return spark.createDataFrame(
+        rdd, T.StructType([df.schema[col], T.StructField(out, T.LongType(), False)])
+    )
+
+
+ENC_SCHEMA = T.StructType(
+    [
+        T.StructField("docids", T.BinaryType()),
+        T.StructField("tfs", T.BinaryType()),
+        T.StructField("dls", T.BinaryType()),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("max_part", T.DoubleType()),
+    ]
+)
+
+
+def make_encode_udf(avgdl: float):
+    @F.pandas_udf(ENC_SCHEMA)
+    def encode_udf(packed: pd.Series, tfs: pd.Series, dls: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        out = {"docids": [], "tfs": [], "dls": [], "n": [], "max_part": []}
+        for p, tf, dl in zip(packed, tfs, dls):
+            p = np.asarray(p, dtype=np.int64)
+            tf = np.asarray(tf, dtype=np.int64)
+            dl = np.asarray(dl, dtype=np.int64)
+            out["docids"].append(delta_encode(p))
+            out["tfs"].append(varint_encode(tf))
+            out["dls"].append(varint_encode(dl))
+            out["n"].append(len(p))
+            # block-max of the idf-independent part of the BM25 score —
+            # multiplied by idf at query time for the WAND upper bound
+            part = (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            out["max_part"].append(float(part.max()))
+        return pd.DataFrame(out)
+
+    return encode_udf
+
+
+def build_index(
+    spark: SparkSession,
+    source: DataFrame | str,
+    index_dir: str,
+    n_buckets: int = 32,
+    docs_per_block: int = 64,
+    block_chunks: int = 4,
+    fail_after_block_chunk: int | None = None,  # test hook for kill/resume
+) -> Manifest:
+    """Build (or resume building) an index at index_dir."""
+    man = Manifest.load(index_dir)
+    src = spark.read.parquet(source) if isinstance(source, str) else source
+    # normalize to the input_hint schema (turn_idx:int32) regardless of how
+    # the caller materialized the DataFrame
+    src = src.withColumn("turn_idx", F.col("turn_idx").cast("int"))
+
+    turns_path = table_path(index_dir, "turns")
+    dict_path = table_path(index_dir, "term_dict")
+    post_path = table_path(index_dir, "postings")
+    block_path = table_path(index_dir, "blocks")
+
+    # ---- stage 1: turns ------------------------------------------------
+    if not man.is_done("turns"):
+        t0 = time.time()
+        doc_map = assign_dense_ids(src, "conv_id", "doc_id")
+        turns = (
+            src.join(doc_map, "conv_id")
+            .withColumn("tok", tokenize_udf(F.col("text")))
+            .select(
+                "doc_id",
+                "turn_idx",
+                "conv_id",
+                "role",
+                "tool",
+                "ts",
+                "text",
+                F.col("tok.terms").alias("terms"),
+                F.col("tok.starts").alias("starts"),
+                F.col("tok.ends").alias("ends"),
+                F.size("tok.terms").alias("dl"),
+            )
+        )
+        (
+            turns.repartitionByRange(F.col("doc_id"))
+            .sortWithinPartitions("doc_id", "turn_idx")
+            .write.mode("overwrite")
+            .parquet(turns_path)
+        )
+        dt = time.time() - t0
+        n = spark.read.parquet(turns_path).count()
+        man.commit(
+            "turns", rows=n, seconds=round(dt, 3),
+            turns_per_sec=round(n / dt, 1), bytes=dir_bytes(turns_path),
+        )
+
+    turns = spark.read.parquet(turns_path)
+
+    # ---- stage 2: term_dict --------------------------------------------
+    if not man.is_done("term_dict"):
+        t0 = time.time()
+        term_occ = turns.select(
+            "doc_id", "turn_idx", F.explode("terms").alias("term")
+        )
+        per_turn = term_occ.groupBy("term", "doc_id", "turn_idx").agg(
+            F.count("*").alias("tf")
+        )
+        stats_per_term = per_turn.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf")
+        )
+        ids = assign_dense_ids(stats_per_term, "term", "term_id")
+        (
+            stats_per_term.join(ids, "term")
+            .select("term", "term_id", "df", "cf")
+            .repartitionByRange(F.col("term_id"))
+            .sortWithinPartitions("term_id")
+            .write.mode("overwrite")
+            .parquet(dict_path)
+        )
+        dt = time.time() - t0
+        n = spark.read.parquet(dict_path).count()
+        man.commit("term_dict", rows=n, seconds=round(dt, 3), bytes=dir_bytes(dict_path))
+
+    # ---- stage 3: stats -------------------------------------------------
+    if not man.is_done("stats"):
+        t0 = time.time()
+        agg = turns.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("total_dl")
+        ).collect()[0]
+        n_terms = spark.read.parquet(dict_path).count()
+        write_stats(
+            index_dir,
+            {
+                "N": agg["n"],
+                "total_dl": agg["total_dl"],
+                "avgdl": agg["total_dl"] / agg["n"],
+                "n_terms": n_terms,
+                "n_buckets": n_buckets,
+                "docs_per_block": docs_per_block,
+                "turn_bits": TURN_BITS,
+            },
+        )
+        man.commit("stats", N=agg["n"], seconds=round(time.time() - t0, 3))
+
+    stats = read_stats(index_dir)
+    avgdl = stats["avgdl"]
+
+    # ---- stage 4: postings ----------------------------------------------
+    if not man.is_done("postings"):
+        t0 = time.time()
+        term_dict = spark.read.parquet(dict_path)
+        exploded = turns.select(
+            "doc_id", "turn_idx", "dl", F.posexplode("terms").alias("pos", "term")
+        )
+        postings = (
+            exploded.join(term_dict.select("term", "term_id"), "term")
+            .groupBy("term_id", "doc_id", "turn_idx")
+            .agg(
+                F.count("*").alias("tf"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+                F.first("dl").alias("dl"),
+            )
+            .withColumn("bucket", F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int"))
+        )
+        (
+            postings.repartition(F.col("bucket"))
+            .sortWithinPartitions("term_id", "doc_id", "turn_idx")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(post_path)
+        )
+        dt = time.time() - t0
+        n = spark.read.parquet(post_path).count()
+        man.commit(
+            "postings", rows=n, seconds=round(dt, 3),
+            postings_per_sec=round(n / dt, 1), bytes=dir_bytes(post_path),
+        )
+
+    # ---- stage 5: blocks (chunked → resumable mid-stage) ------------------
+    encode_udf = make_encode_udf(avgdl)
+    postings = spark.read.parquet(post_path)
+    for chunk in range(block_chunks):
+        unit = f"chunk={chunk}"
+        if man.is_done("blocks", unit):
+            continue
+        if fail_after_block_chunk is not None and chunk >= fail_after_block_chunk:
+            raise RuntimeError(f"injected failure before blocks {unit}")
+        t0 = time.time()
+        part = postings.where(F.pmod(F.col("bucket"), F.lit(block_chunks)) == chunk)
+        grouped = (
+            part.withColumn(
+                "block_id", (F.col("doc_id") / F.lit(docs_per_block)).cast("long")
+            )
+            .withColumn(
+                "packed",
+                F.shiftleft(F.col("doc_id"), TURN_BITS).cast("long")
+                + F.col("turn_idx").cast("long"),
+            )
+            .groupBy("bucket", "term_id", "block_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("packed", "tf", "dl"))
+                ).alias("plist")
+            )
+            .select(
+                "bucket",
+                "term_id",
+                "block_id",
+                F.expr("transform(plist, x -> x.packed)").alias("pk"),
+                F.expr("transform(plist, x -> x.tf)").alias("tfl"),
+                F.expr("transform(plist, x -> x.dl)").alias("dll"),
+            )
+            .withColumn("enc", encode_udf("pk", "tfl", "dll"))
+            .select(
+                "bucket",
+                "term_id",
+                "block_id",
+                F.col("enc.docids").alias("docids"),
+                F.col("enc.tfs").alias("tfs"),
+                F.col("enc.dls").alias("dls"),
+                F.col("enc.n").alias("n"),
+                F.col("enc.max_part").alias("max_part"),
+            )
+        )
+        out = f"{block_path}/chunk={chunk}"
+        (
+            grouped.repartition(F.col("bucket"))
+            .sortWithinPartitions("term_id", "block_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(out)
+        )
+        dt = time.time() - t0
+        bdf = spark.read.parquet(out)
+        n_blocks = bdf.count()
+        fan_in = bdf.agg(F.avg("n")).collect()[0][0]
+        man.commit(
+            "blocks", unit, rows=n_blocks, seconds=round(dt, 3),
+            avg_postings_per_block=round(fan_in or 0.0, 2), bytes=dir_bytes(out),
+        )
+
+    if not man.is_done("build"):
+        man.commit("build", n_buckets=n_buckets, docs_per_block=docs_per_block)
+    return man

@@ -1,0 +1,357 @@
+"""Boolean retrieval + BM25 top-k over the index tables.
+
+Physical planning mirrors the reference's rewrites
+(engine/src/query/parser.rs:74-144):
+
+  * every literal plans as a phrase (parser.rs:87-90) —
+    conjunctive posting intersection (phrase.rs:37-77) expressed as a
+    count-match groupBy, then positional adjacency verified JVM-side with
+    `exists`/`array_contains` over the per-term position arrays (the one
+    genuinely custom operator, phrase.rs:89-126 — no UDF needed: the
+    position arrays are already in the postings table).
+  * AND of phrases flattens into ONE candidate pass over the union of all
+    term sets (IntersectingPhraseQuery, intersect.rs:149-229).
+  * OR whose children are all single-term literals becomes one keyword
+    scan `term_id IN (...)` (KeywordsQuery fast path, parser.rs:112-122).
+  * general AND = inner join on (doc_id, turn_idx) (intersect.rs:59-84);
+    general OR = union + dropDuplicates (union_query.rs:48-64).
+
+BM25 scoring is bit-identical to the single-node oracle: idf values are
+computed on the driver in Python (same math.log), avgdl comes from the
+stats aggregates, and the per-doc sum is a sequential fold over
+contributions sorted by term_id with the oracle's exact expression shape
+(FIXTURES.md §3), so float64 results agree bitwise.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..oracle import B, K1, bm25_idf
+from ..plans.parser import And, Expr, Literal, Or, parse_query
+from ..sources.tables import read_stats, table_path
+from ..tokenizer import tokenize_terms
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+MATCH_COLS = ["doc_id", "turn_idx"]
+
+
+# ---------------------------------------------------------------------------
+# physical plan nodes
+
+
+@dataclass(frozen=True)
+class PNode:
+    pass
+
+
+@dataclass(frozen=True)
+class PPhrase(PNode):
+    ids: tuple[int, ...]  # term-id sequence, 0 = OOV
+
+
+@dataclass(frozen=True)
+class PPhraseAnd(PNode):
+    phrases: tuple[tuple[int, ...], ...]
+
+
+@dataclass(frozen=True)
+class PKeywords(PNode):
+    ids: tuple[int, ...]
+
+
+@dataclass(frozen=True)
+class PAnd(PNode):
+    children: tuple[PNode, ...]
+
+
+@dataclass(frozen=True)
+class POr(PNode):
+    children: tuple[PNode, ...]
+
+
+def lower(expr: Expr, term_of: dict[str, int], optimize: bool = True) -> PNode:
+    """AST → physical plan with the reference's rewrites."""
+
+    def lit_ids(text: str) -> tuple[int, ...]:
+        return tuple(term_of.get(t, 0) for t in tokenize_terms(text))
+
+    def rec(e: Expr) -> PNode:
+        if isinstance(e, Literal):
+            return PPhrase(lit_ids(e.text))
+        if isinstance(e, And):
+            kids = []
+            for side in (rec(e.lhs), rec(e.rhs)):
+                kids.extend(side.children if isinstance(side, PAnd) else [side])
+            if optimize and all(isinstance(c, PPhrase) for c in kids):
+                return PPhraseAnd(tuple(c.ids for c in kids))
+            return PAnd(tuple(kids))
+        if isinstance(e, Or):
+            kids = []
+            for side in (rec(e.lhs), rec(e.rhs)):
+                kids.extend(side.children if isinstance(side, POr) else [side])
+            if optimize and all(
+                isinstance(c, PPhrase) and len(c.ids) == 1 for c in kids
+            ):
+                return PKeywords(tuple(c.ids[0] for c in kids))
+            return POr(tuple(kids))
+        raise TypeError(type(e))
+
+    return rec(expr)
+
+
+def plan_term_ids(node: PNode) -> set[int]:
+    if isinstance(node, PPhrase):
+        return set(node.ids)
+    if isinstance(node, PKeywords):
+        return set(node.ids)
+    if isinstance(node, PPhraseAnd):
+        return {t for p in node.phrases for t in p}
+    return {t for c in node.children for t in plan_term_ids(c)}
+
+
+# ---------------------------------------------------------------------------
+# index handle
+
+
+class Index:
+    """Reader over an index directory built by operators.build."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.stats = read_stats(index_dir)
+        self.turns = spark.read.parquet(table_path(index_dir, "turns"))
+        self.postings = spark.read.parquet(table_path(index_dir, "postings"))
+        self.term_dict = spark.read.parquet(table_path(index_dir, "term_dict"))
+        self._blocks: DataFrame | None = None
+
+    @property
+    def blocks(self) -> DataFrame:
+        if self._blocks is None:
+            self._blocks = self.spark.read.parquet(table_path(self.index_dir, "blocks"))
+        return self._blocks
+
+    def lookup_terms(self, words: list[str]) -> dict[str, tuple[int, int]]:
+        """term string → (term_id, df); missing → absent (OOV).
+
+        A filtered read of the bucketed dictionary — the Spark analogue of
+        the frozen perfect-hash probe (term_map.rs:88-92)."""
+        if not words:
+            return {}
+        rows = self.term_dict.where(F.col("term").isin(list(set(words)))).collect()
+        return {r["term"]: (r["term_id"], r["df"]) for r in rows}
+
+    def postings_for(self, term_ids: set[int]) -> DataFrame:
+        ids = sorted(t for t in term_ids if t > 0)
+        if not ids:
+            return self.postings.where(F.lit(False))
+        nb = self.stats["n_buckets"]
+        buckets = sorted({t % nb for t in ids})
+        # bucket predicate prunes hive partitions; term_id predicate is
+        # pushed to parquet row-group min/max (files sorted by term_id)
+        return self.postings.where(
+            F.col("bucket").isin(buckets) & F.col("term_id").isin(ids)
+        )
+
+    def empty_match(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], T.StructType([RESULT_SCHEMA[0], RESULT_SCHEMA[1]])
+        )
+
+
+# ---------------------------------------------------------------------------
+# boolean evaluation → match set DataFrame (doc_id, turn_idx)
+
+
+def _adjacency_pred(posmap: Column, ids: tuple[int, ...]) -> Column:
+    """∃p: p ∈ pos[ids[0]] ∧ p+1 ∈ pos[ids[1]] ∧ … — positional phrase
+    adjacency, equivalent to the reference's term-sequence memmem scan
+    (phrase.rs:104-126), evaluated entirely inside codegen."""
+    def key(tid: int) -> Column:
+        return F.lit(int(tid)).cast("long")
+
+    def chain(p: Column) -> Column:
+        conds = [
+            F.array_contains(F.element_at(posmap, key(tid)), p + j)
+            for j, tid in enumerate(ids[1:], start=1)
+        ]
+        return reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
+
+    return F.exists(F.element_at(posmap, key(ids[0])), chain)
+
+
+def _phrase_candidates(ix: Index, unique_ids: set[int]) -> DataFrame:
+    """Turns containing ALL of unique_ids, with per-term position map."""
+    return (
+        ix.postings_for(unique_ids)
+        .groupBy(*MATCH_COLS)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term_id", "positions"))
+            ).alias("posmap"),
+            F.count("*").alias("nt"),
+        )
+        .where(F.col("nt") == len(unique_ids))
+    )
+
+
+def eval_match(ix: Index, node: PNode) -> DataFrame:
+    if isinstance(node, PKeywords):
+        ids = {t for t in node.ids if t > 0}
+        if not ids:
+            return ix.empty_match()
+        return ix.postings_for(ids).select(*MATCH_COLS).distinct()
+
+    if isinstance(node, PPhrase):
+        if not node.ids or 0 in node.ids:
+            return ix.empty_match()
+        unique = set(node.ids)
+        cand = _phrase_candidates(ix, unique)
+        if len(node.ids) > 1:
+            cand = cand.where(_adjacency_pred(F.col("posmap"), node.ids))
+        return cand.select(*MATCH_COLS)
+
+    if isinstance(node, PPhraseAnd):
+        if any((not p or 0 in p) for p in node.phrases):
+            return ix.empty_match()
+        unique = {t for p in node.phrases for t in p}
+        cand = _phrase_candidates(ix, unique)
+        for p in node.phrases:
+            if len(p) > 1:
+                cand = cand.where(_adjacency_pred(F.col("posmap"), p))
+        return cand.select(*MATCH_COLS)
+
+    if isinstance(node, PAnd):
+        dfs = [eval_match(ix, c) for c in node.children]
+        return reduce(lambda a, b: a.join(b, MATCH_COLS, "inner"), dfs)
+
+    if isinstance(node, POr):
+        dfs = [eval_match(ix, c) for c in node.children]
+        return reduce(DataFrame.unionByName, dfs).dropDuplicates(MATCH_COLS)
+
+    raise TypeError(type(node))
+
+
+# ---------------------------------------------------------------------------
+# BM25 scoring (bit-identical to oracle.bm25_term fold)
+
+
+def score_matches(
+    ix: Index, match: DataFrame, qterm_ids: list[int], k: int = 10
+) -> DataFrame:
+    """BM25 score match set over unique query terms → top-k DataFrame.
+
+    The top-k sort+limit lowers to TakeOrderedAndProject (no full sort)."""
+    qids = sorted({t for t in qterm_ids if t > 0})
+    if not qids:
+        return ix.spark.createDataFrame([], RESULT_SCHEMA)
+
+    dfs = {r["term_id"]: r["df"] for r in
+           ix.term_dict.where(F.col("term_id").isin(qids)).select("term_id", "df").collect()}
+    n_docs = ix.stats["N"]
+    avgdl = ix.stats["avgdl"]
+    idf_map = F.map_from_arrays(
+        F.array([F.lit(int(t)).cast("long") for t in qids]),
+        F.array([F.lit(bm25_idf(n_docs, dfs.get(t, 0))) for t in qids]),
+    )
+
+    cand = (
+        ix.postings_for(set(qids))
+        .join(match.select(*MATCH_COLS), MATCH_COLS, "left_semi")
+        .groupBy(*MATCH_COLS)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("term_id", "tf"))).alias("contribs"),
+            F.first("dl").alias("dl"),
+        )
+    )
+
+    c_k1p1 = F.lit(K1 + 1.0)
+    c_k1 = F.lit(K1)
+    c_1mb = F.lit(1.0 - B)
+    c_b = F.lit(B)
+    c_avgdl = F.lit(avgdl)
+    dl = F.col("dl").cast("double")
+
+    # oracle.bm25_term: idf * (tf*(K1+1)) / (tf + K1*((1-B) + (B*dl)/avgdl))
+    score = F.aggregate(
+        F.col("contribs"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (
+            (F.element_at(idf_map, x["term_id"]) * (x["tf"].cast("double") * c_k1p1))
+            / (
+                x["tf"].cast("double")
+                + c_k1 * (c_1mb + (c_b * dl) / c_avgdl)
+            )
+        ),
+    )
+
+    scored = cand.select(
+        "doc_id", "turn_idx", score.alias("score")
+    )
+    # matched turns containing none of the scoring terms (impossible here:
+    # every match contains ≥1 query term) would be dropped by the semi-join;
+    # boolean semantics guarantee ≥1 term per match, so sets agree.
+    return scored.orderBy(
+        F.desc("score"), F.asc("doc_id"), F.asc("turn_idx")
+    ).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# top-level search
+
+
+def search(
+    ix: Index,
+    query: str,
+    k: int = 10,
+    where: str | None = None,
+    optimize: bool = True,
+) -> DataFrame:
+    """Parse → plan → boolean match → optional turn filter → BM25 top-k.
+
+    `where` is a SQL predicate over turn columns (role, tool, ts, conv_id,
+    turn_idx) — the analogue of joie's DocumentFilter
+    (engine/src/query/filter.rs:7-34), expressed as an ordinary `.where()`
+    so Catalyst pushes it into the scan."""
+    expr = parse_query(query)
+    words = sorted({t for lit_ in _literal_texts(expr) for t in tokenize_terms(lit_)})
+    lut = ix.lookup_terms(words)
+    term_of = {w: lut[w][0] for w in lut}
+
+    node = lower(expr, term_of, optimize)
+    match = eval_match(ix, node)
+    if where:
+        match = match.join(
+            ix.turns.where(where).select(*MATCH_COLS), MATCH_COLS, "left_semi"
+        )
+    qids = sorted({t for t in plan_term_ids(node) if t > 0})
+    return score_matches(ix, match, qids, k)
+
+
+def match_set(ix: Index, query: str, optimize: bool = True) -> DataFrame:
+    """Unranked match set in (doc_id, turn_idx) order — the reference's
+    native output order (searcher.rs:37-52)."""
+    expr = parse_query(query)
+    words = sorted({t for lit_ in _literal_texts(expr) for t in tokenize_terms(lit_)})
+    lut = ix.lookup_terms(words)
+    node = lower(expr, {w: lut[w][0] for w in lut}, optimize)
+    return eval_match(ix, node).orderBy(*MATCH_COLS)
+
+
+def _literal_texts(expr: Expr) -> list[str]:
+    if isinstance(expr, Literal):
+        return [expr.text]
+    return _literal_texts(expr.lhs) + _literal_texts(expr.rhs)

@@ -1,0 +1,169 @@
+"""Query-language frontend: lexer + parser producing the boolean AST.
+
+Mirrors the reference grammar exactly (engine/src/query/parser.rs:14-30
+lexer, :155-181 grammar), including its two quirks:
+
+  * **AND binds looser than OR** (`expression = and; and = and AND or / or;
+    or = or OR atom / atom`) — the opposite of SQL convention.  So
+    ``a AND b OR c`` parses as ``And(a, Or(b, c))``.
+  * adjacent bare words join into ONE phrase literal
+    (`literal = quoted / ident+`, parser.rs:174-177): ``crystal kingdom``
+    is the phrase "crystal kingdom", not two keywords.
+
+Every literal is planned as a phrase query (parser.rs:87-90), with the
+reference's rewrites (mirrored in joie_spark.operators.query):
+AND(lit,lit) → flattened intersecting-phrase pass (parser.rs:91-105);
+OR(lit,lit) with single-term sides → 2-term keyword union
+(parser.rs:112-122).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class Expr:
+    pass
+
+
+@dataclass(frozen=True)
+class Literal(Expr):
+    text: str  # raw phrase text; tokenized by the engine at plan time
+
+
+@dataclass(frozen=True)
+class And(Expr):
+    lhs: Expr
+    rhs: Expr
+
+
+@dataclass(frozen=True)
+class Or(Expr):
+    lhs: Expr
+    rhs: Expr
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+_KEYWORDS_AND = {"AND", "and", "&&"}
+_KEYWORDS_OR = {"OR", "or", "||"}
+
+
+def _lex(q: str) -> list[tuple[str, str]]:
+    """Tokens: (kind, value); kind ∈ {IDENT, QUOTED, AND, OR, LP, RP}.
+
+    Mirrors the logos lexer (parser.rs:14-30): quoted strings keep their
+    raw inner text (escapes are NOT unescaped — the reference passes the
+    raw slice through, parser.rs:16); idents are maximal runs of
+    characters other than whitespace, quotes and parens; AND/OR keyword
+    tokens only when the whole run matches exactly.
+    """
+    toks: list[tuple[str, str]] = []
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c.isspace():
+            i += 1
+        elif c == "(":
+            toks.append(("LP", c))
+            i += 1
+        elif c == ")":
+            toks.append(("RP", c))
+            i += 1
+        elif c == '"':
+            j = i + 1
+            while j < n:
+                if q[j] == "\\" and j + 1 < n:
+                    j += 2
+                    continue
+                if q[j] == '"':
+                    break
+                j += 1
+            if j >= n:
+                raise QueryParseError(f"unterminated quote at {i}")
+            toks.append(("QUOTED", q[i + 1 : j]))
+            i = j + 1
+        else:
+            j = i
+            while j < n and not q[j].isspace() and q[j] not in '"()':
+                j += 1
+            word = q[i:j]
+            if word in _KEYWORDS_AND:
+                toks.append(("AND", word))
+            elif word in _KEYWORDS_OR:
+                toks.append(("OR", word))
+            else:
+                toks.append(("IDENT", word))
+            i = j
+    return toks
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.pos = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.pos][0] if self.pos < len(self.toks) else None
+
+    def expect(self, kind: str) -> str:
+        if self.peek() != kind:
+            raise QueryParseError(f"expected {kind} at token {self.pos}")
+        v = self.toks[self.pos][1]
+        self.pos += 1
+        return v
+
+    # and = and AND or / or    (left-assoc; loosest binding)
+    def parse_and(self) -> Expr:
+        node = self.parse_or()
+        while self.peek() == "AND":
+            self.pos += 1
+            node = And(node, self.parse_or())
+        return node
+
+    # or = or OR atom / atom   (left-assoc)
+    def parse_or(self) -> Expr:
+        node = self.parse_atom()
+        while self.peek() == "OR":
+            self.pos += 1
+            node = Or(node, self.parse_atom())
+        return node
+
+    def parse_atom(self) -> Expr:
+        k = self.peek()
+        if k == "LP":
+            self.pos += 1
+            node = self.parse_and()
+            self.expect("RP")
+            return node
+        if k == "QUOTED":
+            return Literal(self.expect("QUOTED"))
+        if k == "IDENT":
+            words = [self.expect("IDENT")]
+            while self.peek() == "IDENT":
+                words.append(self.expect("IDENT"))
+            return Literal(" ".join(words))
+        raise QueryParseError(f"unexpected token at {self.pos}: {k}")
+
+
+def parse_query(q: str) -> Expr:
+    toks = _lex(q)
+    if not toks:
+        raise QueryParseError("empty query")
+    p = _Parser(toks)
+    node = p.parse_and()
+    if p.pos != len(toks):
+        raise QueryParseError(f"trailing tokens at {p.pos}")
+    return node
+
+
+def literals(expr: Expr) -> list[str]:
+    """All literal phrase texts in the tree (planner helper)."""
+    if isinstance(expr, Literal):
+        return [expr.text]
+    if isinstance(expr, (And, Or)):
+        return literals(expr.lhs) + literals(expr.rhs)
+    raise TypeError(type(expr))
