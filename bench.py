@@ -1,0 +1,123 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Also times a full engine cycle on the documents table (index build +
+warm BM25 query batch) since index-build throughput and query QPS are the
+north-rule metrics; scaling evidence across two parallelism levels lives
+in scripts/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+HEADLINE = [
+    "bm25_topk",
+    "term_df_top100",
+    "phrase_adjacency",
+    "and_intersect",
+    "minhash_lsh",
+    "simhash",
+    "ngram_jaccard",
+    "ann_cosine_topk",
+    "embedding_neardup",
+    "quality_score",
+    "pricing_summary",
+    "join_revenue_topk",
+]
+
+ENGINE_QUERIES = [
+    '"fast table" OR scan',
+    "table AND fast OR scan",
+    "group order AND batch",
+    '"slow fast" OR "row scan"',
+    "window OR spark OR query OR stream",
+]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from joie_spark.engine import Engine
+    from joie_spark.session import get_spark
+
+    spark = get_spark("joie-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+
+    timings: dict[str, float] = {}
+    qmap = entrymod.queries()
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qmap[name](spark, SF_DIR)
+        df.count() if name not in ("bm25_topk",) else df.collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    # engine cycle: build over documents-as-transcripts, then warm QPS
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    transcripts = docs.select(
+        F.format_string("doc-%06d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("doc").alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    ix_dir = tempfile.mkdtemp(prefix="joie_bench_ix_")
+    try:
+        n_turns = transcripts.count()
+        t0 = time.time()
+        eng = Engine.build(
+            spark, transcripts, ix_dir,
+            n_buckets=max(CPUS, 8), docs_per_block=64, block_chunks=1,
+        )
+        build_sec = time.time() - t0
+        timings["engine_build"] = round(build_sec, 3)
+
+        # warm-up then timed query batch
+        eng.search(ENGINE_QUERIES[0], k=10).collect()
+        t0 = time.time()
+        n_q = 0
+        for q in ENGINE_QUERIES:
+            eng.search(q, k=10).collect()
+            n_q += 1
+        query_sec = time.time() - t0
+        timings["engine_query_batch"] = round(query_sec, 3)
+        engine_metrics = {
+            "build_turns_per_sec": round(n_turns / build_sec, 1),
+            "query_qps": round(n_q / query_sec, 3),
+            "n_turns": n_turns,
+        }
+    finally:
+        shutil.rmtree(ix_dir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": CPUS,
+                "engine": engine_metrics,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -28,9 +28,37 @@ class Engine:
 
     # -- queries ----------------------------------------------------------
     def search(
-        self, query: str, k: int = 10, where: str | None = None, optimize: bool = True
+        self,
+        query: str,
+        k: int = 10,
+        where: str | None = None,
+        optimize: bool = True,
+        mode: str = "auto",
     ) -> DataFrame:
-        """BM25 top-k: (doc_id, turn_idx, score)."""
+        """BM25 top-k: (doc_id, turn_idx, score).
+
+        mode='auto' routes pure disjunctive keyword queries (no turn
+        filter) to the block-max WAND path over compressed blocks —
+        rank-identical by construction, decodes only surviving blocks;
+        everything else uses the exhaustive postings scorer.
+        mode='exhaustive' / mode='wand' force a path."""
+        if mode in ("auto", "wand") and where is None:
+            from .plans.parser import parse_query
+            from .tokenizer import tokenize_terms
+
+            expr = parse_query(query)
+            lits = _lits(expr)
+            node_words = [tokenize_terms(t) for t in lits]
+            is_disjunctive = all(len(w) == 1 for w in node_words) and _is_or_only(expr)
+            if is_disjunctive:
+                from .operators.wand import wand_topk
+
+                words = [w for ws in node_words for w in ws]
+                return wand_topk(self.index, words, k=k)
+            if mode == "wand":
+                raise ValueError(
+                    "mode='wand' requires a pure disjunctive keyword query"
+                )
         return Q.search(self.index, query, k=k, where=where, optimize=optimize)
 
     def search_highlighted(
@@ -79,3 +107,11 @@ def _lits(expr: Expr) -> list[str]:
         return [expr.text]
     assert isinstance(expr, (And, Or))
     return _lits(expr.lhs) + _lits(expr.rhs)
+
+
+def _is_or_only(expr: Expr) -> bool:
+    if isinstance(expr, Literal):
+        return True
+    if isinstance(expr, Or):
+        return _is_or_only(expr.lhs) and _is_or_only(expr.rhs)
+    return False

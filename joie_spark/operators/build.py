@@ -174,7 +174,31 @@ def build_index(
             turns_per_sec=round(n / dt, 1), bytes=dir_bytes(turns_path),
         )
 
-    turns = spark.read.parquet(turns_path)
+    return build_from_turns(
+        spark,
+        index_dir,
+        n_buckets=n_buckets,
+        docs_per_block=docs_per_block,
+        block_chunks=block_chunks,
+        fail_after_block_chunk=fail_after_block_chunk,
+    )
+
+
+def build_from_turns(
+    spark: SparkSession,
+    index_dir: str,
+    n_buckets: int = 32,
+    docs_per_block: int = 64,
+    block_chunks: int = 4,
+    fail_after_block_chunk: int | None = None,
+) -> Manifest:
+    """Stages 2-5 over an existing turns table (used by build_index and by
+    the shard merge, which unions pre-tokenized turns — operators/merge.py)."""
+    man = Manifest.load(index_dir)
+    dict_path = table_path(index_dir, "term_dict")
+    post_path = table_path(index_dir, "postings")
+    block_path = table_path(index_dir, "blocks")
+    turns = spark.read.parquet(table_path(index_dir, "turns"))
 
     # ---- stage 2: term_dict --------------------------------------------
     if not man.is_done("term_dict"):

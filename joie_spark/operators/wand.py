@@ -1,0 +1,176 @@
+"""Block-max WAND top-k over the compressed posting blocks.
+
+Distributed adaptation of block-max WAND (Ding & Suel 2011, public
+algorithm; the reference has no scoring at all — SURVEY.md §2.7): the
+sequential heap-threshold loop does not map onto a shuffle-based engine,
+so we use the same *soundness* invariant (a block whose score upper bound
+is below the current k-th best score cannot contribute a top-k document)
+in two phases:
+
+  phase 1  rank candidate blocks by ub(block) = Σ_t idf_t · max_part_t
+           (block-max metadata written at build time), exact-score the
+           top-P blocks → threshold θ = k-th best exact score.
+  phase 2  decode & exact-score only blocks with ub ≥ θ; global top-k.
+
+Pruning is by upper bound, so results are rank-identical to the
+exhaustive path (tested).  Because blocks share global doc-range
+boundaries (block_id = doc_id // docs_per_block), the per-block ub is a
+plain groupBy-sum — no interval overlap logic, no skew (a hot term's
+postings spread over ~n_docs/docs_per_block blocks).
+
+Scoring is bit-identical to the oracle: numpy float64 elementwise ops use
+the same IEEE semantics as the scalar expression, and per-doc sums fold
+in ascending term_id order.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.codec import TURN_BITS, delta_decode, varint_decode
+from ..oracle import B, K1, bm25_idf
+from .query import RESULT_SCHEMA, Index
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("packed", T.LongType()),
+        T.StructField("term_id", T.LongType()),
+        T.StructField("contrib", T.DoubleType()),
+    ]
+)
+
+
+def _decode_score_udf(idf_by_term: dict[int, float], avgdl: float):
+    c1 = K1 + 1.0
+    omb = 1.0 - B
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for term_id, docids, tfs, dls in zip(
+                pdf["term_id"], pdf["docids"], pdf["tfs"], pdf["dls"]
+            ):
+                packed = delta_decode(bytes(docids))
+                tf = varint_decode(bytes(tfs)).astype(np.float64)
+                dl = varint_decode(bytes(dls)).astype(np.float64)
+                idf = idf_by_term[int(term_id)]
+                # same expression shape as oracle.bm25_term (bit-identical)
+                contrib = idf * (tf * c1) / (tf + K1 * (omb + (B * dl) / avgdl))
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "packed": packed.astype(np.int64),
+                            "term_id": np.full(len(packed), int(term_id), dtype=np.int64),
+                            "contrib": contrib,
+                        }
+                    )
+                )
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"packed": [], "term_id": [], "contrib": []}
+            )
+
+    return run
+
+
+def _blocks_for(ix: Index, qids: list[int]) -> DataFrame:
+    nb = ix.stats["n_buckets"]
+    buckets = sorted({t % nb for t in qids})
+    return ix.blocks.where(
+        F.col("bucket").isin(buckets) & F.col("term_id").isin([int(t) for t in qids])
+    )
+
+
+def _score_blocks(ix: Index, blocks: DataFrame, idf: dict[int, float], k: int) -> DataFrame:
+    decoded = blocks.select("term_id", "docids", "tfs", "dls").mapInPandas(
+        _decode_score_udf(idf, ix.stats["avgdl"]), DECODED_SCHEMA
+    )
+    per_doc = decoded.groupBy("packed").agg(
+        F.sort_array(F.collect_list(F.struct("term_id", "contrib"))).alias("cs")
+    )
+    score = F.aggregate(
+        F.col("cs"), F.lit(0.0), lambda acc, x: acc + x["contrib"]
+    )
+    return per_doc.select(
+        F.shiftright(F.col("packed"), TURN_BITS).alias("doc_id"),
+        (F.col("packed") % (1 << TURN_BITS)).cast("int").alias("turn_idx"),
+        score.alias("score"),
+    ).orderBy(F.desc("score"), F.asc("doc_id"), F.asc("turn_idx")).limit(k)
+
+
+def wand_topk(ix: Index, words: list[str], k: int = 10, probe_blocks: int = 8) -> DataFrame:
+    """Disjunctive (keyword-OR) BM25 top-k with block-max pruning.
+
+    Returns the same rows as the exhaustive scorer (rank-identical); at
+    scale only ~probe_blocks + surviving blocks are ever decoded."""
+    lut = ix.lookup_terms(words)
+    qids = sorted({tid for tid, _df in lut.values()})
+    if not qids:
+        return ix.spark.createDataFrame([], RESULT_SCHEMA)
+    n_docs = ix.stats["N"]
+    idf = {tid: bm25_idf(n_docs, df) for tid, df in lut.values()}
+
+    blocks = _blocks_for(ix, qids).cache()
+    try:
+        idf_map = F.map_from_arrays(
+            F.array([F.lit(int(t)).cast("long") for t in qids]),
+            F.array([F.lit(idf[t]) for t in qids]),
+        )
+        ub = blocks.groupBy("block_id").agg(
+            F.sum(F.element_at(idf_map, F.col("term_id")) * F.col("max_part")).alias("ub")
+        )
+
+        # phase 1: exact-score the highest-ub blocks → threshold θ
+        probe_ids = [
+            r["block_id"]
+            for r in ub.orderBy(F.desc("ub"), F.asc("block_id"))
+            .limit(probe_blocks)
+            .collect()
+        ]
+        if not probe_ids:
+            return ix.spark.createDataFrame([], RESULT_SCHEMA)
+        probe = _score_blocks(
+            ix, blocks.where(F.col("block_id").isin(probe_ids)), idf, k
+        ).collect()
+        theta = probe[-1]["score"] if len(probe) >= k else float("-inf")
+
+        # phase 2: only blocks whose upper bound can beat θ
+        survivors = ub.where(F.col("ub") >= theta).select("block_id")
+        final_blocks = blocks.join(survivors, "block_id", "left_semi")
+        return _score_blocks(ix, final_blocks, idf, k)
+    finally:
+        blocks.unpersist()
+
+
+def pruning_stats(ix: Index, words: list[str], k: int = 10, probe_blocks: int = 8) -> dict:
+    """Diagnostics: how many candidate blocks the θ-pruning removed."""
+    lut = ix.lookup_terms(words)
+    qids = sorted({tid for tid, _ in lut.values()})
+    if not qids:
+        return {"total_blocks": 0, "survivors": 0}
+    n_docs = ix.stats["N"]
+    idf = {tid: bm25_idf(n_docs, df) for tid, df in lut.values()}
+    blocks = _blocks_for(ix, qids)
+    idf_map = F.map_from_arrays(
+        F.array([F.lit(int(t)).cast("long") for t in qids]),
+        F.array([F.lit(idf[t]) for t in qids]),
+    )
+    ub = blocks.groupBy("block_id").agg(
+        F.sum(F.element_at(idf_map, F.col("term_id")) * F.col("max_part")).alias("ub")
+    )
+    probe_ids = [
+        r["block_id"]
+        for r in ub.orderBy(F.desc("ub"), F.asc("block_id")).limit(probe_blocks).collect()
+    ]
+    probe = _score_blocks(
+        ix, blocks.where(F.col("block_id").isin(probe_ids)), idf, k
+    ).collect()
+    theta = probe[-1]["score"] if len(probe) >= k else float("-inf")
+    total = ub.count()
+    surv = ub.where(F.col("ub") >= theta).count()
+    return {"total_blocks": total, "survivors": surv, "theta": theta}

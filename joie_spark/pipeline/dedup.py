@@ -1,0 +1,179 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale notes (the point of each design):
+  * exact dedup: hash-groupBy — one shuffle on a 16-byte key, no skew
+    (hashes are uniform).
+  * n-gram Jaccard: exact pairwise similarity — O(n²), only usable on a
+    candidate set; provided as the *oracle* for the LSH variants and as a
+    bounded sampled query.
+  * MinHash + LSH: shingle → K minhashes → B bands → bucket-join; the
+    scale path: candidate pairs come from equi-joins on (band, bucket
+    hash), never a cross join.  Hot buckets are bounded because bucket
+    keys include the band hash (uniform).
+  * SimHash: 64-bit signature via per-token hashes; near-dups differ in
+    few bits; bucketing on 16-bit chunks gives the banded variant
+    (Hamming ≤ 3 ⇒ some chunk equal).
+  * embedding cosine near-dup: exact threshold join over normalized
+    vectors, JVM-side dot product.
+
+Everything is expression-level (codegen); xxhash64 is Spark's built-in
+64-bit hash, deterministic across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import sql_tokens
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact dedup via content-hash groupBy: groups with >1 member."""
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").cast("long").alias("cnt"), F.min("doc_id").alias("keeper"))
+        .where(F.col("cnt") > 1)
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (JVM-side transform)."""
+    return docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"CASE WHEN size(tokens) < {n} THEN array()"
+                f" ELSE transform(sequence(0, size(tokens) - {n}),"
+                f" i -> concat_ws(' ', slice(tokens, i + 1, {n}))) END"
+            )
+        ).alias("shingles"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, sample_mod: int = 25, threshold: float = 0.0
+) -> DataFrame:
+    """Exact n-gram Jaccard for a sampled left side (doc_id % sample_mod
+    == 0) against all docs — the oracle for MinHash-LSH, and bounded
+    enough to run as a correctness query.  Full O(n²) is intentionally
+    not exposed."""
+    sh = shingles(docs.withColumn("tokens", sql_tokens()), n)
+    left = sh.where(F.col("doc_id") % sample_mod == 0).select(
+        F.col("doc_id").alias("a"), F.col("shingles").alias("sa")
+    )
+    right = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sb"))
+    pairs = left.join(right, F.col("a") < F.col("b"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.select("a", "b", F.round(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") > threshold)
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 32, n: int = 3) -> DataFrame:
+    """K minhash values per doc: min over shingles of xxhash64(shingle, seed).
+
+    One pass, no shuffle until the caller aggregates; signatures are
+    arrays so the bands step is a pure projection."""
+    sh = shingles(docs.withColumn("tokens", sql_tokens()), n)
+    sig = F.array(
+        *[
+            F.array_min(F.expr(f"transform(shingles, s -> xxhash64(s, {seed}))"))
+            for seed in range(k)
+        ]
+    )
+    return sh.where(F.size("shingles") > 0).select(
+        "doc_id", sig.alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, k: int = 32, bands: int = 8, n: int = 3
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    rows per doc = bands; candidates come from an equi-join on
+    (band, bucket) — the 100 TB-safe path (no cross join anywhere).
+    Verify candidates with exact Jaccard downstream if exactness needed."""
+    rows_per_band = k // bands
+    sigs = minhash_signatures(docs, k, n)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
+        )
+        .distinct()
+    )
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per document: sign-sum of per-token 64-bit hashes.
+
+    Expressed with aggregate() over bit positions — stays JVM-side."""
+    tok = docs.withColumn("tokens", sql_tokens()).select("doc_id", "tokens")
+    bits = [
+        F.sum(
+            F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    per_tok = tok.select(
+        "doc_id", F.explode("tokens").alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    agg = per_tok.groupBy("doc_id").agg(*bits)
+    sig = None
+    for i in range(64):
+        term = F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.95, sample_mod: int = 10
+) -> DataFrame:
+    """Embedding-cosine near-dup: sampled left side vs all, exact cosine
+    (JVM-side fold), threshold filter.  The ANN module provides the
+    bucketed variant for full-corpus scale."""
+    from .ann import cosine_expr
+
+    left = emb.where(F.col("vec_id") % sample_mod == 0).select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    )
+    right = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    pairs = left.join(right, F.col("a") < F.col("b"))
+    sim = cosine_expr("ea", "eb")
+    return pairs.select("a", "b", F.round(sim, 4).alias("cos")).where(
+        F.col("cos") >= threshold
+    )

@@ -1,0 +1,104 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are JVM-side (`pyspark.sql.functions` /
+`F.expr`), so they stay inside whole-stage codegen — no Python UDFs.
+The SQL-portable tokenizer here (`[a-z0-9]+` over lower(text)) is
+deliberately simpler than the engine's UAX#29+stemmer pipeline: it is the
+oracle-checkable path (DuckDB can evaluate the identical expression);
+the full linguistic pipeline is exercised by the engine's own oracle
+tests (tests/test_rank_identity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = "[a-z0-9]+"
+
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it"]
+
+
+def sql_tokens(col: str = "text") -> Column:
+    """JVM-side tokenization — identical semantics in DuckDB:
+    regexp_extract_all(lower(text), '[a-z0-9]+')."""
+    return F.expr(f"regexp_extract_all(lower({col}), '{TOKEN_PATTERN}', 0)")
+
+
+def with_tokens(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("tokens", sql_tokens())
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token counting (whitespace/alnum tokenizer)."""
+    return with_tokens(docs).select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_distinct"),
+    )
+
+
+def term_df(docs: DataFrame) -> DataFrame:
+    """Global document-frequency / collection-frequency aggregates —
+    the df/cf statistics of the index build (SURVEY.md §2.7) over the
+    generic documents table."""
+    tok = with_tokens(docs).select("doc_id", F.explode("tokens").alias("term"))
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.count("*").cast("long").alias("cf"),
+        )
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality signals: length, mean token length, stopword
+    ratio, alnum ratio.  All codegen-friendly; rounded for portability."""
+    d = with_tokens(docs)
+    n_tok = F.size("tokens").cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.expr(
+        f"filter(tokens, t -> array_contains(array({','.join(repr(s) for s in STOPWORDS)}), t))"
+    )).cast("double")
+    alnum_chars = F.length(F.concat_ws("", F.col("tokens"))).cast("double")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.round(alnum_chars / F.greatest(n_tok, F.lit(1.0)), 4).alias("mean_tok_len"),
+        F.round(n_stop / F.greatest(n_tok, F.lit(1.0)), 4).alias("stopword_ratio"),
+        F.round(alnum_chars / F.greatest(F.length("text").cast("double"), F.lit(1.0)), 4).alias(
+            "alnum_ratio"
+        ),
+    )
+
+
+def lang_id_heuristic(docs: DataFrame) -> DataFrame:
+    """N-gram-flavoured language-ID heuristic: score = share of tokens in
+    an English marker list; predict 'en' above threshold.  Deterministic
+    and portable (the real corpus carries a lang column; this is the
+    derived signal a pipeline would compute)."""
+    markers = ["the", "a", "and", "of", "to", "is", "in", "that"]
+    d = with_tokens(docs)
+    n_tok = F.size("tokens").cast("double")
+    hits = F.size(F.expr(
+        f"filter(tokens, t -> array_contains(array({','.join(repr(m) for m in markers)}), t))"
+    )).cast("double")
+    score = F.round(hits / F.greatest(n_tok, F.lit(1.0)), 4)
+    return d.select(
+        "doc_id",
+        "lang",
+        score.alias("en_score"),
+        F.when(score >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 over the normalized token stream —
+    canonicalization-stable content hash for dedup lineage."""
+    d = with_tokens(docs)
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.col("tokens"))).alias("fp"),
+    )
