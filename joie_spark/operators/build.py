@@ -69,19 +69,41 @@ def tokenize_udf(texts: pd.Series) -> pd.DataFrame:
 def assign_dense_ids(df: DataFrame, col: str, out: str, start: int = 1) -> DataFrame:
     """Deterministic dense ids over the sorted distinct values of `col`.
 
-    Avoids a single-partition window: range-repartition + sort gives a
-    global total order, and zipWithIndex assigns contiguous ranks that are
-    independent of the parallelism level (same total order at local[8]
-    and local[32]) — the scalable analogue of joie's insertion-order
-    interning (term_map.rs:69-73) made deterministic.
+    Pure-JVM zipWithIndex: range-repartition gives globally ordered
+    partitions; pass 1 collects per-partition counts (P tiny rows), pass 2
+    adds `row_number within partition + cumulative offset`.  No
+    single-partition window (each partition ranks independently), no
+    Python serialization, and ids depend only on the data's total order —
+    identical at local[8] and local[32] (the scalable analogue of joie's
+    insertion-order interning, term_map.rs:69-73, made deterministic).
     """
-    spark = df.sparkSession
-    distinct = df.select(col).distinct().repartitionByRange(F.col(col)).sortWithinPartitions(col)
-    rdd = distinct.rdd.map(lambda r: r[0]).zipWithIndex().map(
-        lambda kv: (kv[0], kv[1] + start)
+    from pyspark.sql.window import Window
+
+    base = (
+        df.select(col)
+        .distinct()
+        .repartitionByRange(F.col(col))
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
-    return spark.createDataFrame(
-        rdd, T.StructType([df.schema[col], T.StructField(out, T.LongType(), False)])
+    counts = base.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    offset = {}
+    acc = start
+    for r in sorted(counts, key=lambda r: r["pid"]):
+        offset[r["pid"]] = acc
+        acc += r["n"]
+    if not offset:
+        return base.select(col, F.lit(None).cast("long").alias(out)).where(F.lit(False))
+    off_expr = F.element_at(
+        F.map_from_arrays(
+            F.array([F.lit(int(p)) for p in offset]),
+            F.array([F.lit(int(o)).cast("long") for o in offset.values()]),
+        ),
+        F.col("pid"),
+    )
+    w = Window.partitionBy("pid").orderBy(col)
+    return base.select(
+        col, (F.row_number().over(w).cast("long") + off_expr - 1).alias(out)
     )
 
 
@@ -127,6 +149,7 @@ def build_index(
     docs_per_block: int = 64,
     block_chunks: int = 4,
     fail_after_block_chunk: int | None = None,  # test hook for kill/resume
+    collect_metrics: bool = True,  # False skips per-stage count() jobs
 ) -> Manifest:
     """Build (or resume building) an index at index_dir."""
     man = Manifest.load(index_dir)
@@ -144,8 +167,13 @@ def build_index(
     if not man.is_done("turns"):
         t0 = time.time()
         doc_map = assign_dense_ids(src, "conv_id", "doc_id")
+        # spread the input before the tokenizer UDF: the source may be a
+        # single file (1 scan partition) and doc_map broadcast-joins, so
+        # without this the Arrow tokenizer would run in one task
+        par = spark.sparkContext.defaultParallelism
         turns = (
-            src.join(doc_map, "conv_id")
+            src.repartition(par, "conv_id")
+            .join(doc_map, "conv_id")
             .withColumn("tok", tokenize_udf(F.col("text")))
             .select(
                 "doc_id",
@@ -168,10 +196,11 @@ def build_index(
             .parquet(turns_path)
         )
         dt = time.time() - t0
-        n = spark.read.parquet(turns_path).count()
+        n = spark.read.parquet(turns_path).count() if collect_metrics else -1
         man.commit(
             "turns", rows=n, seconds=round(dt, 3),
-            turns_per_sec=round(n / dt, 1), bytes=dir_bytes(turns_path),
+            turns_per_sec=round(n / dt, 1) if n > 0 else None,
+            bytes=dir_bytes(turns_path),
         )
 
     return build_from_turns(
@@ -181,6 +210,7 @@ def build_index(
         docs_per_block=docs_per_block,
         block_chunks=block_chunks,
         fail_after_block_chunk=fail_after_block_chunk,
+        collect_metrics=collect_metrics,
     )
 
 
@@ -191,6 +221,7 @@ def build_from_turns(
     docs_per_block: int = 64,
     block_chunks: int = 4,
     fail_after_block_chunk: int | None = None,
+    collect_metrics: bool = True,
 ) -> Manifest:
     """Stages 2-5 over an existing turns table (used by build_index and by
     the shard merge, which unions pre-tokenized turns — operators/merge.py)."""
@@ -222,7 +253,7 @@ def build_from_turns(
             .parquet(dict_path)
         )
         dt = time.time() - t0
-        n = spark.read.parquet(dict_path).count()
+        n = spark.read.parquet(dict_path).count() if collect_metrics else -1
         man.commit("term_dict", rows=n, seconds=round(dt, 3), bytes=dir_bytes(dict_path))
 
     # ---- stage 3: stats -------------------------------------------------
@@ -274,10 +305,11 @@ def build_from_turns(
             .parquet(post_path)
         )
         dt = time.time() - t0
-        n = spark.read.parquet(post_path).count()
+        n = spark.read.parquet(post_path).count() if collect_metrics else -1
         man.commit(
             "postings", rows=n, seconds=round(dt, 3),
-            postings_per_sec=round(n / dt, 1), bytes=dir_bytes(post_path),
+            postings_per_sec=round(n / dt, 1) if n > 0 else None,
+            bytes=dir_bytes(post_path),
         )
 
     # ---- stage 5: blocks (chunked → resumable mid-stage) ------------------
@@ -335,9 +367,12 @@ def build_from_turns(
             .parquet(out)
         )
         dt = time.time() - t0
-        bdf = spark.read.parquet(out)
-        n_blocks = bdf.count()
-        fan_in = bdf.agg(F.avg("n")).collect()[0][0]
+        if collect_metrics:
+            bdf = spark.read.parquet(out)
+            n_blocks = bdf.count()
+            fan_in = bdf.agg(F.avg("n")).collect()[0][0]
+        else:
+            n_blocks, fan_in = -1, None
         man.commit(
             "blocks", unit, rows=n_blocks, seconds=round(dt, 3),
             avg_postings_per_block=round(fan_in or 0.0, 2), bytes=dir_bytes(out),

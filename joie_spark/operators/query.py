@@ -249,17 +249,28 @@ def eval_match(ix: Index, node: PNode) -> DataFrame:
 
 
 def score_matches(
-    ix: Index, match: DataFrame, qterm_ids: list[int], k: int = 10
+    ix: Index,
+    match: DataFrame,
+    qterm_ids: list[int],
+    k: int = 10,
+    dfs: dict[int, int] | None = None,
 ) -> DataFrame:
     """BM25 score match set over unique query terms → top-k DataFrame.
 
-    The top-k sort+limit lowers to TakeOrderedAndProject (no full sort)."""
+    The top-k sort+limit lowers to TakeOrderedAndProject (no full sort).
+    `dfs` (term_id → df) avoids a second dictionary read when the caller
+    already looked the terms up."""
     qids = sorted({t for t in qterm_ids if t > 0})
     if not qids:
         return ix.spark.createDataFrame([], RESULT_SCHEMA)
 
-    dfs = {r["term_id"]: r["df"] for r in
-           ix.term_dict.where(F.col("term_id").isin(qids)).select("term_id", "df").collect()}
+    if dfs is None:
+        dfs = {
+            r["term_id"]: r["df"]
+            for r in ix.term_dict.where(F.col("term_id").isin(qids))
+            .select("term_id", "df")
+            .collect()
+        }
     n_docs = ix.stats["N"]
     avgdl = ix.stats["avgdl"]
     idf_map = F.map_from_arrays(
@@ -338,7 +349,8 @@ def search(
             ix.turns.where(where).select(*MATCH_COLS), MATCH_COLS, "left_semi"
         )
     qids = sorted({t for t in plan_term_ids(node) if t > 0})
-    return score_matches(ix, match, qids, k)
+    dfs = {tid: df for tid, df in lut.values()}
+    return score_matches(ix, match, qids, k, dfs=dfs)
 
 
 def match_set(ix: Index, query: str, optimize: bool = True) -> DataFrame:

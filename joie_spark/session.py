@@ -37,7 +37,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", os.environ.get("JOIE_DRIVER_MEM", "8g"))
+        # local mode runs all executor threads in the driver JVM: size the
+        # heap for the parallelism level or 32 threads thrash GC in 8g
+        .config(
+            "spark.driver.memory",
+            os.environ.get("JOIE_DRIVER_MEM", f"{max(8, cpus * 2)}g"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )

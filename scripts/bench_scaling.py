@@ -26,7 +26,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_CONVS = int(os.environ.get("JOIE_BENCH_CONVS", "20000"))
+N_CONVS = int(os.environ.get("JOIE_BENCH_CONVS", "150000"))
 QUERIES = [
     "roll OR dice OR game",
     "the OR check OR turn",

@@ -1,0 +1,85 @@
+"""Physical-plan audit: verify the scan/pruning/top-k properties the
+100 TB design depends on, by inspecting explain(formatted) output.
+
+Checks:
+  1. postings scan for a query prunes hive partitions on `bucket` and
+     pushes the term_id filter to parquet (PushedFilters).
+  2. top-k lowers to TakeOrderedAndProject (no global Sort+Limit).
+  3. turns fetch for highlights pushes doc_id/turn_idx filters.
+  4. tokenizer/codec are the only Python stages (ArrowEvalPython /
+     MapInPandas); boolean+scoring stages stay in WholeStageCodegen.
+
+Run: python scripts/plan_audit.py   (prints PASS/FAIL per check)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def explain_str(df) -> str:
+    jdf = df._jdf
+    return jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def main() -> None:
+    from joie_spark.corpus import generate_rows
+    from joie_spark.engine import Engine
+    from joie_spark.session import get_spark
+
+    spark = get_spark("plan-audit", master="local[8]", shuffle_partitions=8)
+    d = tempfile.mkdtemp(prefix="joie_audit_")
+    eng = Engine.build(
+        spark, spark.createDataFrame(generate_rows(50, seed=42)), d,
+        n_buckets=8, docs_per_block=8, block_chunks=1,
+    )
+    results = {}
+
+    # 1. postings scan pruning
+    plan = explain_str(eng.search("roll AND dice", k=10))
+    results["partition_pruning_bucket"] = "bucket" in plan and (
+        "PartitionFilters" in plan
+    )
+    results["pushed_term_filter"] = "PushedFilters" in plan and "term_id" in plan
+    # 2. top-k
+    results["take_ordered"] = "TakeOrderedAndProject" in plan
+    # 4. codegen coverage (simple mode prints WholeStageCodegen spans)
+    df = eng.search("roll AND dice", k=10)
+    simple = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    results["wholestage_codegen"] = "WholeStageCodegen" in simple
+
+    plan_w = explain_str(eng.search("roll OR dice", k=10))  # WAND path
+    results["wand_block_scan_pruned"] = "bucket" in plan_w
+    results["wand_take_ordered"] = "TakeOrderedAndProject" in plan_w
+
+    hi = eng.search_highlighted('"crystal kingdom"', k=3)
+    plan_h = explain_str(hi)
+    results["highlight_after_topk"] = "MapInPandas" in plan_h
+
+    print()
+    ok = True
+    for k, v in results.items():
+        print(f"{'PASS' if v else 'FAIL'}  {k}")
+        ok &= bool(v)
+
+    if os.environ.get("JOIE_AUDIT_DUMP"):
+        print("\n==== AND plan ====\n", plan)
+        print("\n==== WAND plan ====\n", plan_w)
+
+    spark.stop()
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
