@@ -52,12 +52,12 @@ def main() -> None:
     results["pushed_term_filter"] = "PushedFilters" in plan and "term_id" in plan
     # 2. top-k
     results["take_ordered"] = "TakeOrderedAndProject" in plan
-    # 4. codegen coverage (simple mode prints WholeStageCodegen spans)
+    # 4. codegen coverage: AQE finalizes the plan at execution time, so
+    # collect first and look for the *(n) codegen markers in executedPlan
     df = eng.search("roll AND dice", k=10)
-    simple = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
-    )
-    results["wholestage_codegen"] = "WholeStageCodegen" in simple
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    results["wholestage_codegen"] = "*(" in executed
 
     plan_w = explain_str(eng.search("roll OR dice", k=10))  # WAND path
     results["wand_block_scan_pruned"] = "bucket" in plan_w
