@@ -172,3 +172,77 @@ def write_corpus(path: str, n_convs: int, seed: int = 42) -> int:
 
 # pinned fixture sizes (FIXTURES.md §1)
 SIZES = {"t1": 50, "t2": 1000, "bench": 50000}
+
+
+# ---------------------------------------------------------------------------
+# Spark-parallel generation for large bench corpora.
+#
+# generate_rows() above uses ONE sequential PRNG (cheap, and the golden
+# fixtures pin it).  For multi-million-turn scaling corpora we need
+# parallel generation that is STILL deterministic regardless of
+# partitioning, so each conversation gets its own seed derived from
+# (seed, conv_index) and is generated independently.
+
+
+def generate_conv_rows(ci: int, seed: int = 42, avg_turns: int = 12) -> list[dict]:
+    """All turns of conversation `ci` — pure function of (seed, ci)."""
+    rng = random.Random((seed << 32) ^ (ci * 0x9E3779B9))
+    body, rare = _lemmas()
+    cdf = _zipf_cdf(len(body))
+    conv_id = f"conv-{ci:08d}"
+    rows: list[dict] = []
+    n_turns = max(2, min(40, int(rng.lognormvariate(0, 0.5) * avg_turns)))
+    for ti in range(n_turns):
+        n_tok = max(3, min(120, int(rng.lognormvariate(0, 0.7) * 14)))
+        toks: list[str] = []
+        for _ in range(n_tok):
+            if rng.random() < 0.35:
+                toks.append(HOT_TERMS[rng.randrange(len(HOT_TERMS))])
+            else:
+                toks.append(body[_sample_zipf(rng, cdf)])
+        if ci % 7 == 0 and ti == 1:
+            mid = len(toks) // 2
+            toks[mid:mid] = PHRASE_POS.split()
+        if ci % 11 == 0 and ti == 2:
+            toks[1:1] = PHRASE_POS2.split()
+        if ci % 13 == 0 and ti == 0:
+            toks[0:0] = NEAR_MISSES[ci % len(NEAR_MISSES)].split()
+        if ci % 1009 == 0 and ti == 0:
+            toks.append(rare[ci % len(rare)])
+        role = ROLES[(ci + ti) % len(ROLES)]
+        rows.append(
+            {
+                "conv_id": conv_id,
+                "turn_idx": ti,
+                "role": role,
+                "text": " ".join(toks),
+                "tool": TOOLS[(ci + ti) % len(TOOLS)] if role == "tool" else "",
+                "ts": _EPOCH + timedelta(seconds=ci * 1000 + ti * 7),
+            }
+        )
+    return rows
+
+
+def spark_write_corpus(spark, path: str, n_convs: int, seed: int = 42) -> int:
+    """Generate the corpus in parallel with Spark (mapInPandas over conv
+    index ranges) and write parquet.  Deterministic content independent of
+    partitioning (per-conv seeds)."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for ci in pdf["id"]:
+                out.extend(generate_conv_rows(int(ci), seed))
+            yield pd.DataFrame(out)
+
+    par = spark.sparkContext.defaultParallelism * 2
+    df = spark.range(0, n_convs, 1, par).mapInPandas(gen, schema)
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).count()

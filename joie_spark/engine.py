@@ -32,6 +32,7 @@ class Engine:
         query: str,
         k: int = 10,
         where: str | None = None,
+        where_doc: str | None = None,
         optimize: bool = True,
         mode: str = "auto",
     ) -> DataFrame:
@@ -42,7 +43,7 @@ class Engine:
         rank-identical by construction, decodes only surviving blocks;
         everything else uses the exhaustive postings scorer.
         mode='exhaustive' / mode='wand' force a path."""
-        if mode in ("auto", "wand") and where is None:
+        if mode in ("auto", "wand") and where is None and where_doc is None:
             from .plans.parser import parse_query
             from .tokenizer import tokenize_terms
 
@@ -59,7 +60,10 @@ class Engine:
                 raise ValueError(
                     "mode='wand' requires a pure disjunctive keyword query"
                 )
-        return Q.search(self.index, query, k=k, where=where, optimize=optimize)
+        return Q.search(
+            self.index, query, k=k, where=where, where_doc=where_doc,
+            optimize=optimize,
+        )
 
     def search_highlighted(
         self, query: str, k: int = 10, where: str | None = None

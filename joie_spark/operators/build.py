@@ -38,32 +38,66 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import shutil
+
 from ..functions.codec import TURN_BITS, delta_encode, varint_encode
 from ..oracle import B, K1
 from ..sources.tables import Manifest, dir_bytes, read_stats, table_path, write_stats
 
+GROUPED_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField("tf", T.IntegerType()),
+            T.StructField("positions", T.ArrayType(T.IntegerType())),
+        ]
+    )
+)
+
 TOK_SCHEMA = T.StructType(
     [
-        T.StructField("terms", T.ArrayType(T.StringType())),
         T.StructField("starts", T.ArrayType(T.IntegerType())),
         T.StructField("ends", T.ArrayType(T.IntegerType())),
+        T.StructField("grouped", GROUPED_TYPE),
+        T.StructField("dl", T.IntegerType()),
     ]
 )
+
+
+def _rmtree(path: str) -> None:
+    shutil.rmtree(path, ignore_errors=True)
 
 
 @F.pandas_udf(TOK_SCHEMA)
 def tokenize_udf(texts: pd.Series) -> pd.DataFrame:
     """Arrow-vectorized tokenizer (no per-row Python UDF; the stemmer is
-    memoized per unique token via lru_cache — SURVEY.md §1.3)."""
+    memoized per unique token via lru_cache — SURVEY.md §1.3).
+
+    Emits token byte ranges (the reference's Sentence.tokens,
+    sentence.rs:36-44) plus the per-turn positional index
+    `grouped[(term, tf, positions)]` (the reference's terms_by_value,
+    term_map.rs:53-58) — precomputing it here turns the postings build
+    into a pure explode+join with NO (term,doc,turn) groupBy shuffle."""
     from ..tokenizer import tokenize
 
-    terms, starts, ends = [], [], []
+    starts, ends, grouped, dls = [], [], [], []
     for text in texts:
         toks = tokenize(text or "")
-        terms.append([t.term for t in toks])
         starts.append([t.start for t in toks])
         ends.append([t.end for t in toks])
-    return pd.DataFrame({"terms": terms, "starts": starts, "ends": ends})
+        by_term: dict[str, list[int]] = {}
+        for i, t in enumerate(toks):
+            by_term.setdefault(t.term, []).append(i)
+        grouped.append(
+            [
+                {"term": term, "tf": len(ps), "positions": ps}
+                for term, ps in by_term.items()
+            ]
+        )
+        dls.append(len(toks))
+    return pd.DataFrame(
+        {"starts": starts, "ends": ends, "grouped": grouped, "dl": dls}
+    )
 
 
 def assign_dense_ids(df: DataFrame, col: str, out: str, start: int = 1) -> DataFrame:
@@ -183,18 +217,28 @@ def build_index(
                 "tool",
                 "ts",
                 "text",
-                F.col("tok.terms").alias("terms"),
                 F.col("tok.starts").alias("starts"),
                 F.col("tok.ends").alias("ends"),
-                F.size("tok.terms").alias("dl"),
+                F.col("tok.grouped").alias("grouped"),
+                F.col("tok.dl").alias("dl"),
             )
         )
+        # Two-pass materialization: repartitionByRange SAMPLES its child,
+        # which would re-run the tokenizer UDF, and caching the tokenized
+        # rows GC-thrashes (measured: 40% of stage task time in GC).  So
+        # pass A writes the tokenized rows as-is; pass B re-reads the
+        # parquet (cheap, columnar) and produces the doc-range-sorted
+        # layout.  Same shape a cluster job would use (temp table).
+        tmp_path = turns_path + ".tmp"
+        turns.write.mode("overwrite").parquet(tmp_path)
         (
-            turns.repartitionByRange(F.col("doc_id"))
+            spark.read.parquet(tmp_path)
+            .repartitionByRange(F.col("doc_id"))
             .sortWithinPartitions("doc_id", "turn_idx")
             .write.mode("overwrite")
             .parquet(turns_path)
         )
+        _rmtree(tmp_path)
         dt = time.time() - t0
         n = spark.read.parquet(turns_path).count() if collect_metrics else -1
         man.commit(
@@ -229,19 +273,41 @@ def build_from_turns(
     dict_path = table_path(index_dir, "term_dict")
     post_path = table_path(index_dir, "postings")
     block_path = table_path(index_dir, "blocks")
+    meta_path = table_path(index_dir, "doc_meta")
     turns = spark.read.parquet(table_path(index_dir, "turns"))
+
+    # ---- stage 1b: doc_meta (dense per-document store — the analogue of
+    # the reference's SimpleStorage metadata array, storage/src/store.rs:46-100;
+    # DocumentFilter predicates become a plain .where() on this table) ----
+    if not man.is_done("doc_meta"):
+        t0 = time.time()
+        (
+            turns.groupBy("doc_id")
+            .agg(
+                F.first("conv_id").alias("conv_id"),
+                F.count("*").cast("int").alias("n_turns"),
+                F.sum("dl").alias("total_dl"),
+                F.min("ts").alias("first_ts"),
+                F.max("ts").alias("last_ts"),
+                F.array_sort(F.collect_set("role")).alias("roles"),
+            )
+            .repartitionByRange(F.col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(meta_path)
+        )
+        man.commit(
+            "doc_meta", seconds=round(time.time() - t0, 3), bytes=dir_bytes(meta_path)
+        )
 
     # ---- stage 2: term_dict --------------------------------------------
     if not man.is_done("term_dict"):
         t0 = time.time()
-        term_occ = turns.select(
-            "doc_id", "turn_idx", F.explode("terms").alias("term")
-        )
-        per_turn = term_occ.groupBy("term", "doc_id", "turn_idx").agg(
-            F.count("*").alias("tf")
+        per_turn = turns.select(F.explode("grouped").alias("g")).select(
+            F.col("g.term").alias("term"), F.col("g.tf").alias("tf")
         )
         stats_per_term = per_turn.groupBy("term").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("cf")
+            F.count("*").cast("long").alias("df"), F.sum("tf").alias("cf")
         )
         ids = assign_dense_ids(stats_per_term, "term", "term_id")
         (
@@ -284,22 +350,32 @@ def build_from_turns(
     if not man.is_done("postings"):
         t0 = time.time()
         term_dict = spark.read.parquet(dict_path)
+        # `grouped` already carries the per-turn positional index, so the
+        # postings table is a pure explode + dictionary join — the
+        # (term, doc, turn) aggregation the naive plan would shuffle was
+        # precomputed inside the tokenizer pass (no groupBy here at all)
         exploded = turns.select(
-            "doc_id", "turn_idx", "dl", F.posexplode("terms").alias("pos", "term")
+            "doc_id", "turn_idx", "dl", F.explode("grouped").alias("g")
+        ).select(
+            "doc_id",
+            "turn_idx",
+            "dl",
+            F.col("g.term").alias("term"),
+            F.col("g.tf").alias("tf"),
+            F.col("g.positions").alias("positions"),
         )
-        postings = (
-            exploded.join(term_dict.select("term", "term_id"), "term")
-            .groupBy("term_id", "doc_id", "turn_idx")
-            .agg(
-                F.count("*").alias("tf"),
-                F.sort_array(F.collect_list("pos")).alias("positions"),
-                F.first("dl").alias("dl"),
-            )
-            .withColumn("bucket", F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int"))
-        )
+        postings = exploded.join(
+            term_dict.select("term", "term_id"), "term"
+        ).withColumn("bucket", F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int"))
         (
-            postings.repartition(F.col("bucket"))
-            .sortWithinPartitions("term_id", "doc_id", "turn_idx")
+            postings.select(
+                "term_id", "doc_id", "turn_idx", "tf", "positions", "dl", "bucket"
+            )
+            .repartition(F.col("bucket"))
+            # leading with the partition column lets FileFormatWriter keep
+            # this ordering (otherwise it re-sorts by bucket alone and the
+            # (term_id, doc, turn) file order is lost)
+            .sortWithinPartitions("bucket", "term_id", "doc_id", "turn_idx")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(post_path)
@@ -361,7 +437,7 @@ def build_from_turns(
         out = f"{block_path}/chunk={chunk}"
         (
             grouped.repartition(F.col("bucket"))
-            .sortWithinPartitions("term_id", "block_id")
+            .sortWithinPartitions("bucket", "term_id", "block_id")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(out)

@@ -64,7 +64,7 @@ def merge_indexes(
         doc_map = assign_dense_ids(unioned, "conv_id", "doc_id")
         merged = unioned.join(doc_map, "conv_id").select(
             "doc_id", "turn_idx", "conv_id", "role", "tool", "ts",
-            "text", "terms", "starts", "ends", "dl",
+            "text", "starts", "ends", "grouped", "dl",
         )
         (
             merged.repartitionByRange(F.col("doc_id"))

@@ -136,6 +136,15 @@ class Index:
         self.postings = spark.read.parquet(table_path(index_dir, "postings"))
         self.term_dict = spark.read.parquet(table_path(index_dir, "term_dict"))
         self._blocks: DataFrame | None = None
+        self._doc_meta: DataFrame | None = None
+
+    @property
+    def doc_meta(self) -> DataFrame:
+        if self._doc_meta is None:
+            self._doc_meta = self.spark.read.parquet(
+                table_path(self.index_dir, "doc_meta")
+            )
+        return self._doc_meta
 
     @property
     def blocks(self) -> DataFrame:
@@ -329,14 +338,18 @@ def search(
     query: str,
     k: int = 10,
     where: str | None = None,
+    where_doc: str | None = None,
     optimize: bool = True,
 ) -> DataFrame:
-    """Parse → plan → boolean match → optional turn filter → BM25 top-k.
+    """Parse → plan → boolean match → optional filters → BM25 top-k.
 
     `where` is a SQL predicate over turn columns (role, tool, ts, conv_id,
-    turn_idx) — the analogue of joie's DocumentFilter
-    (engine/src/query/filter.rs:7-34), expressed as an ordinary `.where()`
-    so Catalyst pushes it into the scan."""
+    turn_idx) — joie's (dead) SentenceFilter surface
+    (engine/src/query/filter.rs:36-44) made real.  `where_doc` is a SQL
+    predicate over doc_meta columns (conv_id, n_turns, total_dl, first_ts,
+    last_ts, roles) — the analogue of joie's DocumentFilter
+    (engine/src/query/filter.rs:7-34).  Both are ordinary `.where()`s so
+    Catalyst pushes them into the scans."""
     expr = parse_query(query)
     words = sorted({t for lit_ in _literal_texts(expr) for t in tokenize_terms(lit_)})
     lut = ix.lookup_terms(words)
@@ -347,6 +360,10 @@ def search(
     if where:
         match = match.join(
             ix.turns.where(where).select(*MATCH_COLS), MATCH_COLS, "left_semi"
+        )
+    if where_doc:
+        match = match.join(
+            ix.doc_meta.where(where_doc).select("doc_id"), "doc_id", "left_semi"
         )
     qids = sorted({t for t in plan_term_ids(node) if t > 0})
     dfs = {tid: df for tid, df in lut.values()}

@@ -110,6 +110,28 @@ class OracleIndex:
         self.avgdl = total_dl / self.n_turns
         self.df = {tid: len(lst) for tid, lst in self.postings.items()}
 
+        # per-document metadata (the SimpleStorage dense array analogue,
+        # storage/src/store.rs:46-100) for DocumentFilter semantics
+        self.doc_meta: dict[int, dict] = {}
+        for r in rows:
+            doc = self.doc_of_conv[r["conv_id"]]
+            m = self.doc_meta.setdefault(
+                doc,
+                {
+                    "conv_id": r["conv_id"],
+                    "n_turns": 0,
+                    "total_dl": 0,
+                    "first_ts": r["ts"],
+                    "last_ts": r["ts"],
+                    "roles": set(),
+                },
+            )
+            m["n_turns"] += 1
+            m["total_dl"] += self.turns[(doc, r["turn_idx"])].dl
+            m["first_ts"] = min(m["first_ts"], r["ts"])
+            m["last_ts"] = max(m["last_ts"], r["ts"])
+            m["roles"].add(r["role"])
+
     # ------------------------------------------------------------------
     def query_term_ids(self, text: str) -> list[int]:
         """tokenize_phrase semantics: OOV → 0 (term_map.rs:94-99)."""
@@ -141,12 +163,15 @@ class OracleIndex:
         query: str,
         k: int = 10,
         turn_filter: Callable[[Turn], bool] | None = None,
+        doc_filter: Callable[[dict], bool] | None = None,
     ) -> list[tuple[int, int, float]]:
         """BM25 top-k over the boolean match set → [(doc, turn, score)]."""
         expr = parse_query(query)
         matches = self._eval(expr)
         if turn_filter is not None:
             matches = {key for key in matches if turn_filter(self.turns[key])}
+        if doc_filter is not None:
+            matches = {key for key in matches if doc_filter(self.doc_meta[key[0]])}
 
         qterms = sorted(
             {t for lit in _literals(expr) for t in self.query_term_ids(lit) if t > 0}

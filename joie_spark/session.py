@@ -25,6 +25,16 @@ def get_spark(
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
 
+    # shuffle scratch on tmpfs: this sandbox's virtio disk serializes
+    # concurrent shuffle writes (threads pile up in write0/munmap — measured
+    # 3-6x stage slowdowns with heavy run-to-run variance).  On a real
+    # cluster this is the usual "spark.local.dir on local NVMe" guidance.
+    local_dir = os.environ.get("JOIE_LOCAL_DIR", "/dev/shm/joie-spark-local")
+    try:
+        os.makedirs(local_dir, exist_ok=True)
+    except OSError:
+        local_dir = None
+
     b = (
         SparkSession.builder.appName(app)
         .master(master)
@@ -46,6 +56,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
+        if local_dir.startswith("/dev/shm"):
+            # scratch is RAM: lz4-compressing shuffle blocks only burns CPU
+            # (measured ~800 task-s per heavy stage)
+            b = b.config("spark.shuffle.compress", "false").config(
+                "spark.shuffle.spill.compress", "false"
+            )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

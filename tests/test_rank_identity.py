@@ -57,6 +57,22 @@ def test_filtered_query_rank_identical(t1_engine, t1_oracle):
     assert got == want
 
 
+def test_doc_filtered_query_rank_identical(t1_engine, t1_oracle):
+    """DocumentFilter analogue (engine/src/query/filter.rs:7-34): SQL
+    predicate on the doc_meta table vs oracle doc-level predicate."""
+    got = [
+        (r["doc_id"], r["turn_idx"], r["score"])
+        for r in t1_engine.search(
+            "roll OR dice", k=10, where_doc="n_turns >= 10"
+        ).collect()
+    ]
+    want = t1_oracle.search(
+        "roll OR dice", k=10, doc_filter=lambda m: m["n_turns"] >= 10
+    )
+    assert got == want
+    assert got, "doc filter should keep some matches on t1"
+
+
 def test_unoptimized_plan_same_results(t1_engine, t1_oracle):
     # fast paths (keyword fusion, intersecting-phrase flattening) must not
     # change semantics (parser.rs:91-122 are rewrites, not semantics)
