@@ -43,10 +43,7 @@ class Engine:
         rank-identical by construction, decodes only surviving blocks;
         everything else uses the exhaustive postings scorer.
         mode='exhaustive' / mode='wand' force a path."""
-        if mode in ("auto", "wand") and where is None and where_doc is None:
-            from .plans.parser import parse_query
-            from .tokenizer import tokenize_terms
-
+        if mode in ("auto", "wand") and where is None:
             expr = parse_query(query)
             lits = _lits(expr)
             node_words = [tokenize_terms(t) for t in lits]
@@ -55,7 +52,7 @@ class Engine:
                 from .operators.wand import wand_topk
 
                 words = [w for ws in node_words for w in ws]
-                return wand_topk(self.index, words, k=k)
+                return wand_topk(self.index, words, k=k, where_doc=where_doc)
             if mode == "wand":
                 raise ValueError(
                     "mode='wand' requires a pure disjunctive keyword query"
@@ -65,12 +62,35 @@ class Engine:
             optimize=optimize,
         )
 
+    def search_many(
+        self,
+        queries: list[str],
+        k: int = 10,
+        where: str | None = None,
+        where_doc: str | None = None,
+        optimize: bool = True,
+    ) -> DataFrame:
+        """Batch BM25 top-k: one dictionary lookup + one Spark job for the
+        whole batch → (query_id, doc_id, turn_idx, score), top-k per
+        query_id.  Per-query rows are bit-identical to `search(q)`; use
+        this for throughput (amortizes per-job latency over the batch —
+        the reference's per-query mmap latency is unreachable from a
+        shuffle engine, aggregate QPS is not)."""
+        return Q.search_many(
+            self.index, queries, k=k, where=where, where_doc=where_doc,
+            optimize=optimize,
+        )
+
     def search_highlighted(
-        self, query: str, k: int = 10, where: str | None = None
+        self,
+        query: str,
+        k: int = 10,
+        where: str | None = None,
+        where_doc: str | None = None,
     ) -> DataFrame:
         """top-k + snippet parts (joie always generates snippets,
         reference README.md:5)."""
-        res = self.search(query, k=k, where=where)
+        res = self.search(query, k=k, where=where, where_doc=where_doc)
         expr = parse_query(query)
         phrases = [tokenize_terms(t) for t in _lits(expr)]
         # keyword highlighting applies to single-term literals via the
@@ -83,16 +103,33 @@ class Engine:
         native output (searcher.rs:37-52)."""
         return Q.match_set(self.index, query)
 
-    def phrase(self, text: str, k: int = 10, where: str | None = None) -> DataFrame:
+    def phrase(
+        self,
+        text: str,
+        k: int = 10,
+        where: str | None = None,
+        where_doc: str | None = None,
+    ) -> DataFrame:
         """Programmatic phrase query (Database::phrase_query,
-        engine/src/lib.rs:100-110)."""
-        return self.search('"' + text.replace('"', " ") + '"', k=k, where=where)
+        engine/src/lib.rs:100-110; doc filter = QueryBuilder::
+        filter_documents, engine/src/query/mod.rs:46-102)."""
+        return self.search(
+            '"' + text.replace('"', " ") + '"', k=k, where=where,
+            where_doc=where_doc,
+        )
 
-    def keywords(self, words: list[str], k: int = 10) -> DataFrame:
+    def keywords(
+        self,
+        words: list[str],
+        k: int = 10,
+        where: str | None = None,
+        where_doc: str | None = None,
+    ) -> DataFrame:
         """Programmatic keyword-OR query (QueryBuilder::keywords,
-        engine/src/query/mod.rs:94-102)."""
+        engine/src/query/mod.rs:94-102, doc filter fused as in
+        keywords.rs:73-79)."""
         q = " OR ".join(w.replace('"', " ") for w in words)
-        return self.search(q, k=k)
+        return self.search(q, k=k, where=where, where_doc=where_doc)
 
     def get_doc(self, doc_id: int) -> DataFrame:
         """All turns of a conversation (Database::get_doc, lib.rs:104-110)."""

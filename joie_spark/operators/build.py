@@ -110,6 +110,10 @@ def assign_dense_ids(df: DataFrame, col: str, out: str, start: int = 1) -> DataF
     Python serialization, and ids depend only on the data's total order —
     identical at local[8] and local[32] (the scalable analogue of joie's
     insertion-order interning, term_map.rs:69-73, made deterministic).
+
+    The persist is load-bearing (partition ids must agree between the two
+    passes); it is exposed as `._joie_persisted` on the result so callers
+    release it once the ids are materialized — see release_dense_ids().
     """
     from pyspark.sql.window import Window
 
@@ -127,6 +131,7 @@ def assign_dense_ids(df: DataFrame, col: str, out: str, start: int = 1) -> DataF
         offset[r["pid"]] = acc
         acc += r["n"]
     if not offset:
+        base.unpersist()
         return base.select(col, F.lit(None).cast("long").alias(out)).where(F.lit(False))
     off_expr = F.element_at(
         F.map_from_arrays(
@@ -136,9 +141,21 @@ def assign_dense_ids(df: DataFrame, col: str, out: str, start: int = 1) -> DataF
         F.col("pid"),
     )
     w = Window.partitionBy("pid").orderBy(col)
-    return base.select(
+    ranked = base.select(
         col, (F.row_number().over(w).cast("long") + off_expr - 1).alias(out)
     )
+    ranked._joie_persisted = base  # released by release_dense_ids()
+    return ranked
+
+
+def release_dense_ids(ids: DataFrame) -> None:
+    """Unpersist the cached distinct-keys set behind assign_dense_ids once
+    every consumer of `ids` has been materialized (e.g. written to parquet).
+    Without this, each build leaks two cached datasets for the session's
+    lifetime (ADVICE r1)."""
+    base = getattr(ids, "_joie_persisted", None)
+    if base is not None:
+        base.unpersist()
 
 
 ENC_SCHEMA = T.StructType(
@@ -231,6 +248,19 @@ def build_index(
         # layout.  Same shape a cluster job would use (temp table).
         tmp_path = turns_path + ".tmp"
         turns.write.mode("overwrite").parquet(tmp_path)
+        release_dense_ids(doc_map)
+        # codec invariant: packed id = doc_id << TURN_BITS | turn_idx needs
+        # 0 <= turn_idx < 2^TURN_BITS or the blocks table silently corrupts
+        # (functions/codec.py:21); validate once on the cheap columnar pass
+        rng = spark.read.parquet(tmp_path).agg(
+            F.min("turn_idx").alias("lo"), F.max("turn_idx").alias("hi")
+        ).collect()[0]
+        if rng["lo"] is not None and (rng["lo"] < 0 or rng["hi"] >= (1 << TURN_BITS)):
+            _rmtree(tmp_path)
+            raise ValueError(
+                f"turn_idx out of packable range [0, {1 << TURN_BITS}): "
+                f"min={rng['lo']} max={rng['hi']}"
+            )
         (
             spark.read.parquet(tmp_path)
             .repartitionByRange(F.col("doc_id"))
@@ -276,6 +306,24 @@ def build_from_turns(
     meta_path = table_path(index_dir, "doc_meta")
     turns = spark.read.parquet(table_path(index_dir, "turns"))
 
+    # Resume safety (ADVICE r1): postings bucketing and block chunking are
+    # pinned by the FIRST commit of stage `stats`; resuming with different
+    # values would write postings the query path prunes wrongly (silently
+    # missing results) or skip whole buckets from the blocks table.
+    if man.is_done("stats"):
+        committed = read_stats(index_dir)
+        for key, val in (
+            ("n_buckets", n_buckets),
+            ("docs_per_block", docs_per_block),
+            ("block_chunks", block_chunks),
+        ):
+            if key in committed and committed[key] != val:
+                raise ValueError(
+                    f"resume parameter mismatch: {key}={val} but the "
+                    f"committed build used {key}={committed[key]} "
+                    f"(stats.json at {index_dir})"
+                )
+
     # ---- stage 1b: doc_meta (dense per-document store — the analogue of
     # the reference's SimpleStorage metadata array, storage/src/store.rs:46-100;
     # DocumentFilter predicates become a plain .where() on this table) ----
@@ -318,6 +366,7 @@ def build_from_turns(
             .write.mode("overwrite")
             .parquet(dict_path)
         )
+        release_dense_ids(ids)
         dt = time.time() - t0
         n = spark.read.parquet(dict_path).count() if collect_metrics else -1
         man.commit("term_dict", rows=n, seconds=round(dt, 3), bytes=dir_bytes(dict_path))
@@ -338,6 +387,7 @@ def build_from_turns(
                 "n_terms": n_terms,
                 "n_buckets": n_buckets,
                 "docs_per_block": docs_per_block,
+                "block_chunks": block_chunks,
                 "turn_bits": TURN_BITS,
             },
         )

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import Manifest, dir_bytes, table_path
-from .build import assign_dense_ids, build_from_turns
+from .build import assign_dense_ids, build_from_turns, release_dense_ids
 
 
 def merge_indexes(
@@ -72,6 +72,7 @@ def merge_indexes(
             .write.mode("overwrite")
             .parquet(turns_path)
         )
+        release_dense_ids(doc_map)
         dt = time.time() - t0
         man.commit(
             "turns", rows=n_rows, seconds=round(dt, 3),

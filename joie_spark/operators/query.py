@@ -370,6 +370,125 @@ def search(
     return score_matches(ix, match, qids, k, dfs=dfs)
 
 
+def search_many(
+    ix: Index,
+    queries: list[str],
+    k: int = 10,
+    where: str | None = None,
+    where_doc: str | None = None,
+    optimize: bool = True,
+) -> DataFrame:
+    """Batch BM25 top-k: ONE dictionary lookup and ONE Spark job for the
+    whole query batch → (query_id, doc_id, turn_idx, score), top-k rows per
+    query_id in (query_id, score desc, doc_id, turn_idx) order.
+
+    Rationale (north rule / VERDICT r1): the reference answers a single
+    query in microseconds from mmap (engine/src/searcher.rs:33-52); a
+    shuffle engine pays ~seconds of job latency per query, so throughput
+    parity comes from amortizing that latency over a batch.  Per-query
+    scores are bit-identical to `search` — the same postings semi-join,
+    the same contribs fold sorted by term_id (scores are per-query math;
+    batching only changes WHICH rows flow through one job, not any float).
+
+    Scale shape: all queries' postings come from one partition-pruned scan
+    (bucket ∈ ∪buckets, term_id ∈ ∪ids pushed to parquet); the per-query
+    top-k is a window rank partitioned by query_id — one extra shuffle of
+    candidate rows, bounded by Σ_q |match_q ∩ scoring terms|."""
+    from pyspark.sql.window import Window
+
+    exprs = [parse_query(q) for q in queries]
+    words = sorted(
+        {
+            t
+            for e in exprs
+            for lit_ in _literal_texts(e)
+            for t in tokenize_terms(lit_)
+        }
+    )
+    lut = ix.lookup_terms(words)
+    term_of = {w: lut[w][0] for w in lut}
+
+    out_schema = T.StructType(
+        [T.StructField("query_id", T.IntegerType()), *RESULT_SCHEMA.fields]
+    )
+    tagged: list[DataFrame] = []
+    per_q_ids: list[list[int]] = []
+    for qi, e in enumerate(exprs):
+        node = lower(e, term_of, optimize)
+        qids = sorted({t for t in plan_term_ids(node) if t > 0})
+        per_q_ids.append(qids)
+        if not qids:
+            continue
+        m = eval_match(ix, node)
+        tagged.append(m.select(F.lit(qi).alias("query_id"), *MATCH_COLS))
+    if not tagged:
+        return ix.spark.createDataFrame([], out_schema)
+    matches = reduce(DataFrame.unionByName, tagged)
+    if where:
+        matches = matches.join(
+            ix.turns.where(where).select(*MATCH_COLS), MATCH_COLS, "left_semi"
+        )
+    if where_doc:
+        matches = matches.join(
+            ix.doc_meta.where(where_doc).select("doc_id"), "doc_id", "left_semi"
+        )
+
+    all_ids = sorted({t for qids in per_q_ids for t in qids})
+    n_docs = ix.stats["N"]
+    avgdl = ix.stats["avgdl"]
+    dfs = {tid: df for tid, df in lut.values()}
+    # idf depends only on the term's global df — one map for the batch
+    idf_map = F.map_from_arrays(
+        F.array([F.lit(int(t)).cast("long") for t in all_ids]),
+        F.array([F.lit(bm25_idf(n_docs, dfs.get(t, 0))) for t in all_ids]),
+    )
+    # query_id → its scoring-term set (tiny literal map, broadcast free)
+    qterms_map = F.map_from_arrays(
+        F.array([F.lit(qi) for qi in range(len(queries))]),
+        F.array(
+            [
+                F.array([F.lit(int(t)).cast("long") for t in qids])
+                for qids in per_q_ids
+            ]
+        ),
+    )
+
+    post = ix.postings_for(set(all_ids)).select("term_id", *MATCH_COLS, "tf", "dl")
+    joined = matches.join(post, MATCH_COLS).where(
+        F.array_contains(
+            F.element_at(qterms_map, F.col("query_id")), F.col("term_id")
+        )
+    )
+    cand = joined.groupBy("query_id", *MATCH_COLS).agg(
+        F.sort_array(F.collect_list(F.struct("term_id", "tf"))).alias("contribs"),
+        F.first("dl").alias("dl"),
+    )
+
+    dl = F.col("dl").cast("double")
+    score = F.aggregate(
+        F.col("contribs"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (
+            (F.element_at(idf_map, x["term_id"]) * (x["tf"].cast("double") * F.lit(K1 + 1.0)))
+            / (
+                x["tf"].cast("double")
+                + F.lit(K1) * (F.lit(1.0 - B) + (F.lit(B) * dl) / F.lit(avgdl))
+            )
+        ),
+    )
+    scored = cand.select("query_id", "doc_id", "turn_idx", score.alias("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"), F.asc("turn_idx")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"), F.asc("turn_idx"))
+    )
+
+
 def match_set(ix: Index, query: str, optimize: bool = True) -> DataFrame:
     """Unranked match set in (doc_id, turn_idx) order — the reference's
     native output order (searcher.rs:37-52)."""

@@ -86,7 +86,13 @@ def _blocks_for(ix: Index, qids: list[int]) -> DataFrame:
     )
 
 
-def _score_blocks(ix: Index, blocks: DataFrame, idf: dict[int, float], k: int) -> DataFrame:
+def _score_blocks(
+    ix: Index,
+    blocks: DataFrame,
+    idf: dict[int, float],
+    k: int,
+    doc_filter: DataFrame | None = None,
+) -> DataFrame:
     decoded = blocks.select("term_id", "docids", "tfs", "dls").mapInPandas(
         _decode_score_udf(idf, ix.stats["avgdl"]), DECODED_SCHEMA
     )
@@ -96,24 +102,44 @@ def _score_blocks(ix: Index, blocks: DataFrame, idf: dict[int, float], k: int) -
     score = F.aggregate(
         F.col("cs"), F.lit(0.0), lambda acc, x: acc + x["contrib"]
     )
-    return per_doc.select(
+    scored = per_doc.select(
         F.shiftright(F.col("packed"), TURN_BITS).alias("doc_id"),
         (F.col("packed") % (1 << TURN_BITS)).cast("int").alias("turn_idx"),
         score.alias("score"),
-    ).orderBy(F.desc("score"), F.asc("doc_id"), F.asc("turn_idx")).limit(k)
+    )
+    if doc_filter is not None:
+        scored = scored.join(doc_filter, "doc_id", "left_semi")
+    return scored.orderBy(
+        F.desc("score"), F.asc("doc_id"), F.asc("turn_idx")
+    ).limit(k)
 
 
-def wand_topk(ix: Index, words: list[str], k: int = 10, probe_blocks: int = 8) -> DataFrame:
+def wand_topk(
+    ix: Index,
+    words: list[str],
+    k: int = 10,
+    probe_blocks: int = 8,
+    where_doc: str | None = None,
+) -> DataFrame:
     """Disjunctive (keyword-OR) BM25 top-k with block-max pruning.
 
     Returns the same rows as the exhaustive scorer (rank-identical); at
-    scale only ~probe_blocks + surviving blocks are ever decoded."""
+    scale only ~probe_blocks + surviving blocks are ever decoded.
+
+    `where_doc` fuses a document filter into BOTH phases (the analogue of
+    the reference's fused DocumentFilter, engine/src/query/filter.rs:7-34).
+    Soundness: θ is the k-th best FILTERED score over the probe blocks, so
+    θ ≤ the global filtered k-th best; every doc's score is ≤ its block's
+    ub, hence no filtered top-k doc lives in a pruned (ub < θ) block."""
     lut = ix.lookup_terms(words)
     qids = sorted({tid for tid, _df in lut.values()})
     if not qids:
         return ix.spark.createDataFrame([], RESULT_SCHEMA)
     n_docs = ix.stats["N"]
     idf = {tid: bm25_idf(n_docs, df) for tid, df in lut.values()}
+    doc_filter = (
+        ix.doc_meta.where(where_doc).select("doc_id") if where_doc else None
+    )
 
     blocks = _blocks_for(ix, qids).cache()
     try:
@@ -135,14 +161,18 @@ def wand_topk(ix: Index, words: list[str], k: int = 10, probe_blocks: int = 8) -
         if not probe_ids:
             return ix.spark.createDataFrame([], RESULT_SCHEMA)
         probe = _score_blocks(
-            ix, blocks.where(F.col("block_id").isin(probe_ids)), idf, k
+            ix,
+            blocks.where(F.col("block_id").isin(probe_ids)),
+            idf,
+            k,
+            doc_filter=doc_filter,
         ).collect()
         theta = probe[-1]["score"] if len(probe) >= k else float("-inf")
 
         # phase 2: only blocks whose upper bound can beat θ
         survivors = ub.where(F.col("ub") >= theta).select("block_id")
         final_blocks = blocks.join(survivors, "block_id", "left_semi")
-        return _score_blocks(ix, final_blocks, idf, k)
+        return _score_blocks(ix, final_blocks, idf, k, doc_filter=doc_filter)
     finally:
         blocks.unpersist()
 

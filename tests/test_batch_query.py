@@ -1,0 +1,142 @@
+"""Batch query API (search_many): per-query results must be bit-identical
+to the single-query path, for plain / turn-filtered / doc-filtered batches
+and batches containing OOV-only queries.  Also covers the filtered-WAND
+variant and build hygiene (resume param pinning, no leaked persisted RDDs)."""
+
+import pytest
+
+BATCH = [
+    "roll OR dice",
+    '"crystal kingdom"',
+    "roll AND dice",
+    "zzzzunseenzzz",            # OOV → contributes no rows
+    '(roll OR "crystal kingdom") AND dice',
+    "the",
+]
+
+
+def _single(engine, q, k=10, **kw):
+    return [
+        (r["doc_id"], r["turn_idx"], r["score"])
+        for r in engine.search(q, k=k, mode="exhaustive", **kw).collect()
+    ]
+
+
+def _batched(engine, queries, k=10, **kw):
+    rows = engine.search_many(queries, k=k, **kw).collect()
+    out = {i: [] for i in range(len(queries))}
+    for r in rows:
+        out[r["query_id"]].append((r["doc_id"], r["turn_idx"], r["score"]))
+    return out
+
+
+def test_search_many_matches_single(t1_engine):
+    got = _batched(t1_engine, BATCH)
+    for i, q in enumerate(BATCH):
+        assert got[i] == _single(t1_engine, q), q
+
+
+def test_search_many_ordering(t1_engine):
+    rows = t1_engine.search_many(BATCH, k=5).collect()
+    keys = [
+        (r["query_id"], -r["score"], r["doc_id"], r["turn_idx"]) for r in rows
+    ]
+    assert keys == sorted(keys)
+
+
+def test_search_many_filters(t1_engine, t1_oracle):
+    queries = ["roll OR dice", '"crystal kingdom"']
+    got = _batched(t1_engine, queries, where="role = 'user'")
+    for i, q in enumerate(queries):
+        assert got[i] == _single(t1_engine, q, where="role = 'user'"), q
+
+    got = _batched(t1_engine, queries, where_doc="n_turns >= 10")
+    for i, q in enumerate(queries):
+        assert got[i] == _single(t1_engine, q, where_doc="n_turns >= 10"), q
+
+
+def test_search_many_all_oov_is_empty(t1_engine):
+    assert t1_engine.search_many(["zzzq zzzr", "zzzs"], k=5).collect() == []
+
+
+def test_wand_doc_filtered_rank_identical(t1_engine, t1_oracle):
+    """where_doc now reaches the WAND path (Engine.search auto-routes
+    disjunctive keyword queries there even with a doc filter)."""
+    from joie_spark.operators import wand
+
+    got = [
+        (r["doc_id"], r["turn_idx"], r["score"])
+        for r in wand.wand_topk(
+            t1_engine.index, ["roll", "dice"], k=10, where_doc="n_turns >= 10"
+        ).collect()
+    ]
+    want = t1_oracle.search(
+        "roll OR dice", k=10, doc_filter=lambda m: m["n_turns"] >= 10
+    )
+    assert got == want and got
+
+
+def test_entry_points_accept_where_doc(t1_engine, t1_oracle):
+    got = [
+        (r["doc_id"], r["turn_idx"], r["score"])
+        for r in t1_engine.keywords(
+            ["roll", "dice"], k=10, where_doc="n_turns >= 10"
+        ).collect()
+    ]
+    want = t1_oracle.search(
+        "roll OR dice", k=10, doc_filter=lambda m: m["n_turns"] >= 10
+    )
+    assert got == want
+
+    got_p = [
+        (r["doc_id"], r["turn_idx"], r["score"])
+        for r in t1_engine.phrase(
+            "crystal kingdom", k=10, where_doc="n_turns >= 10"
+        ).collect()
+    ]
+    want_p = t1_oracle.search(
+        '"crystal kingdom"', k=10, doc_filter=lambda m: m["n_turns"] >= 10
+    )
+    assert got_p == want_p
+
+    hl = t1_engine.search_highlighted(
+        "roll OR dice", k=5, where_doc="n_turns >= 10"
+    ).collect()
+    assert {(r["doc_id"], r["turn_idx"]) for r in hl} == {
+        (d, t) for d, t, _ in want[:5]
+    }
+
+
+def test_resume_rejects_param_mismatch(spark, t1_rows, tmp_path):
+    from joie_spark.operators.build import build_index
+
+    d = str(tmp_path / "ix")
+    df = spark.createDataFrame(t1_rows)
+    build_index(spark, df, d, n_buckets=8, docs_per_block=8, block_chunks=2)
+    with pytest.raises(ValueError, match="n_buckets"):
+        build_index(spark, df, d, n_buckets=16, docs_per_block=8, block_chunks=2)
+    with pytest.raises(ValueError, match="block_chunks"):
+        build_index(spark, df, d, n_buckets=8, docs_per_block=8, block_chunks=4)
+
+
+def test_build_leaves_no_persisted_rdds(spark, t1_rows, tmp_path):
+    from joie_spark.operators.build import build_index
+
+    d = str(tmp_path / "ix_leak")
+    build_index(spark, spark.createDataFrame(t1_rows), d, n_buckets=8,
+                docs_per_block=8, block_chunks=1)
+    leaked = spark.sparkContext._jsc.getPersistentRDDs()
+    assert leaked.size() == 0, f"leaked persisted RDDs: {leaked}"
+
+
+def test_turn_idx_range_validated(spark, tmp_path):
+    from joie_spark.functions.codec import TURN_BITS
+    from joie_spark.operators.build import build_index
+
+    df = spark.createDataFrame(
+        [("c1", 1 << TURN_BITS, "user", "hello world", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    with pytest.raises(ValueError, match="turn_idx"):
+        build_index(spark, df, str(tmp_path / "bad"), n_buckets=4)
