@@ -30,6 +30,10 @@ import joie_spark.pipeline.text as text
 TOK = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"  # spark
 TOK_DD = "regexp_extract_all(lower(text), '[a-z0-9]+')"  # duckdb
 
+# bump when the on-disk index layout / tokenizer changes — invalidates the
+# entry() smoke-check cache
+INDEX_FORMAT_VERSION = 2
+
 BM25_TERMS = ("spark", "window", "query")
 
 
@@ -114,8 +118,12 @@ def q_phrase_adjacency(spark, sf_dir):
 
 
 def q_bm25_topk(spark, sf_dir):
-    """Flagship: BM25 top-10 with the engine's scoring expression."""
-    docs = _docs(spark, sf_dir).withColumn("tokens", text.sql_tokens())
+    """Flagship: BM25 top-10 with the engine's scoring expression.
+
+    The tokenized docs are cached: three branches (tok/dl/tf) hang off the
+    same withColumn and would re-run the regex tokenizer per branch
+    otherwise (VERDICT r1)."""
+    docs = _docs(spark, sf_dir).withColumn("tokens", text.sql_tokens()).cache()
     tok = docs.select("doc_id", F.explode("tokens").alias("term"))
     dl = docs.select("doc_id", F.size("tokens").cast("long").alias("dl"))
     st = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
@@ -185,8 +193,19 @@ def q_minhash_lsh(spark, sf_dir):  # rows-only: xxhash64 not SQL-portable
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), k=32, bands=8)
 
 
+def q_minhash_lsh_verified(spark, sf_dir):  # rows-only (pytest-oracled:
+    # tests/test_pipeline.py asserts every emitted pair matches exact
+    # jaccard and the plan has no cross join)
+    return dedup.minhash_lsh_verified(_docs(spark, sf_dir), threshold=0.7)
+
+
 def q_simhash(spark, sf_dir):  # rows-only
     return dedup.simhash64(_docs(spark, sf_dir))
+
+
+def q_simhash_pairs(spark, sf_dir):  # rows-only (pytest pigeonhole-recall
+    # oracle vs exact Hamming, tests/test_pipeline.py)
+    return dedup.simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -291,10 +310,27 @@ def entry(spark: SparkSession) -> DataFrame:
         F.lit("").alias("tool"),
         F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
     )
-    index_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".cache", "entry_index_sf0001"
+    # cache key = input fingerprint + build params + index-format version,
+    # so format/tokenizer/testdata changes can't serve a stale index
+    # (ADVICE r1); stale siblings are removed.
+    import glob
+    import hashlib
+    import shutil
+
+    src_path = os.path.join(sf_dir, "documents.parquet")
+    sig_parts = [f"fmt={INDEX_FORMAT_VERSION}", "nb=8", "dpb=8", "bc=2"]
+    for p in sorted(glob.glob(os.path.join(src_path, "*")) or [src_path]):
+        st = os.stat(p)
+        sig_parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
+    fp = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:10]
+    cache_root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".cache"
     )
-    os.makedirs(os.path.dirname(index_dir), exist_ok=True)
+    index_dir = os.path.join(cache_root, f"entry_index_sf0001_{fp}")
+    for stale in glob.glob(os.path.join(cache_root, "entry_index_sf0001*")):
+        if stale != index_dir:
+            shutil.rmtree(stale, ignore_errors=True)
+    os.makedirs(cache_root, exist_ok=True)
     eng = Engine.build(
         spark, transcripts, index_dir, n_buckets=8, docs_per_block=8, block_chunks=2
     )
@@ -316,7 +352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_lsh_verified": q_minhash_lsh_verified,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,

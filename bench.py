@@ -22,16 +22,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
+# Headlines measure the SCALE paths only (VERDICT r1): the sampled
+# pairwise oracles (ngram_jaccard, embedding_neardup) stay as correctness
+# queries but out of the bench — a 100 TB pipeline runs the LSH variants.
+# scripts/plan_audit.py asserts none of these plans contain a cross join.
 HEADLINE = [
     "bm25_topk",
     "term_df_top100",
     "phrase_adjacency",
     "and_intersect",
-    "minhash_lsh",
-    "simhash",
-    "ngram_jaccard",
+    "minhash_lsh_verified",
+    "simhash_pairs",
     "ann_cosine_topk",
-    "embedding_neardup",
+    "ann_lsh_bucketed",
     "quality_score",
     "pricing_summary",
     "join_revenue_topk",
@@ -44,6 +47,7 @@ ENGINE_QUERIES = [
     '"slow fast" OR "row scan"',
     "window OR spark OR query OR stream",
 ]
+ENGINE_BATCH_REPEAT = 4  # 5 queries x 4 = 20-query search_many batch
 
 
 def main() -> None:
@@ -85,18 +89,25 @@ def main() -> None:
         build_sec = time.time() - t0
         timings["engine_build"] = round(build_sec, 3)
 
-        # warm-up then timed query batch
-        eng.search(ENGINE_QUERIES[0], k=10).collect()
+        # warm-up then the timed batch: the whole query set in ONE
+        # search_many job (per-query driver latency amortized — the
+        # engine's throughput story; see Engine.search_many)
+        batch = ENGINE_QUERIES * ENGINE_BATCH_REPEAT
+        eng.search_many(ENGINE_QUERIES, k=10).collect()
         t0 = time.time()
-        n_q = 0
-        for q in ENGINE_QUERIES:
-            eng.search(q, k=10).collect()
-            n_q += 1
+        n_rows = len(eng.search_many(batch, k=10).collect())
         query_sec = time.time() - t0
+        assert n_rows > 0
         timings["engine_query_batch"] = round(query_sec, 3)
+        # latency reference: one single query through Engine.search
+        t0 = time.time()
+        eng.search(ENGINE_QUERIES[0], k=10).collect()
+        single_sec = time.time() - t0
         engine_metrics = {
             "build_turns_per_sec": round(n_turns / build_sec, 1),
-            "query_qps": round(n_q / query_sec, 3),
+            "query_qps": round(len(batch) / query_sec, 3),
+            "single_query_sec": round(single_sec, 3),
+            "batch_size": len(batch),
             "n_turns": n_turns,
         }
     finally:

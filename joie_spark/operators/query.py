@@ -370,6 +370,66 @@ def search(
     return score_matches(ix, match, qids, k, dfs=dfs)
 
 
+def _batch_pred(node: PNode, posmap: Column) -> Column:
+    """Boolean match predicate for one query, evaluated over a turn's
+    term_id → positions map — the expression form of eval_match (same
+    semantics per node type), so a whole batch shares ONE candidate scan.
+    Missing keys are handled with map_contains_key / try_element_at (ANSI
+    mode throws on plain element_at misses)."""
+
+    def key(tid: int) -> Column:
+        return F.lit(int(tid)).cast("long")
+
+    def present_all(ids: set[int]) -> Column:
+        return reduce(
+            lambda a, b: a & b,
+            [F.map_contains_key(posmap, key(t)) for t in sorted(ids)],
+        )
+
+    def adjacency(ids: tuple[int, ...]) -> Column:
+        def chain(p: Column) -> Column:
+            conds = [
+                F.array_contains(F.try_element_at(posmap, key(tid)), p + j)
+                for j, tid in enumerate(ids[1:], start=1)
+            ]
+            return reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
+
+        return F.exists(F.try_element_at(posmap, key(ids[0])), chain)
+
+    if isinstance(node, PKeywords):
+        ids = {t for t in node.ids if t > 0}
+        if not ids:
+            return F.lit(False)
+        return reduce(
+            lambda a, b: a | b,
+            [F.map_contains_key(posmap, key(t)) for t in sorted(ids)],
+        )
+    if isinstance(node, PPhrase):
+        if not node.ids or 0 in node.ids:
+            return F.lit(False)
+        pred = present_all(set(node.ids))
+        if len(node.ids) > 1:
+            pred = pred & adjacency(node.ids)
+        return pred
+    if isinstance(node, PPhraseAnd):
+        if any((not p or 0 in p) for p in node.phrases):
+            return F.lit(False)
+        pred = present_all({t for p in node.phrases for t in p})
+        for p in node.phrases:
+            if len(p) > 1:
+                pred = pred & adjacency(p)
+        return pred
+    if isinstance(node, PAnd):
+        return reduce(
+            lambda a, b: a & b, [_batch_pred(c, posmap) for c in node.children]
+        )
+    if isinstance(node, POr):
+        return reduce(
+            lambda a, b: a | b, [_batch_pred(c, posmap) for c in node.children]
+        )
+    raise TypeError(type(node))
+
+
 def search_many(
     ix: Index,
     queries: list[str],
@@ -385,15 +445,26 @@ def search_many(
     Rationale (north rule / VERDICT r1): the reference answers a single
     query in microseconds from mmap (engine/src/searcher.rs:33-52); a
     shuffle engine pays ~seconds of job latency per query, so throughput
-    parity comes from amortizing that latency over a batch.  Per-query
-    scores are bit-identical to `search` — the same postings semi-join,
-    the same contribs fold sorted by term_id (scores are per-query math;
-    batching only changes WHICH rows flow through one job, not any float).
+    parity comes from amortizing that latency over a batch.
 
-    Scale shape: all queries' postings come from one partition-pruned scan
-    (bucket ∈ ∪buckets, term_id ∈ ∪ids pushed to parquet); the per-query
-    top-k is a window rank partitioned by query_id — one extra shuffle of
-    candidate rows, bounded by Σ_q |match_q ∩ scoring terms|."""
+    Physical shape — everything in ONE pass, all codegen, two shuffles:
+
+      1. one partition-pruned postings scan for the union of all queries'
+         terms (bucket ∈ ∪buckets pruned, term_id ∈ ∪ids pushed to
+         parquet row groups);
+      2. one groupBy(doc, turn) → posmap: term_id → positions (tf is
+         size(positions); dl rides along) — the batch analogue of
+         _phrase_candidates;
+      3. every query's boolean predicate (_batch_pred == eval_match
+         semantics) AND its BM25 score are expressions over that posmap —
+         no per-query subtree, no union, no second postings join.  The
+         score folds over the query's term ids ascending exactly like
+         score_matches' sort_array(struct(term_id, tf)) fold, so floats
+         are bit-identical to the single-query path;
+      4. explode the per-row array of matched (query_id, score) structs;
+      5. per-query top-k = window rank partitioned by query_id (the one
+         extra shuffle, bounded by Σ_q |match_q|).
+    """
     from pyspark.sql.window import Window
 
     exprs = [parse_query(q) for q in queries]
@@ -407,82 +478,98 @@ def search_many(
     )
     lut = ix.lookup_terms(words)
     term_of = {w: lut[w][0] for w in lut}
+    nodes = [lower(e, term_of, optimize) for e in exprs]
+    per_q_ids = [
+        sorted({t for t in plan_term_ids(n) if t > 0}) for n in nodes
+    ]
+    all_ids = sorted({t for qids in per_q_ids for t in qids})
 
     out_schema = T.StructType(
         [T.StructField("query_id", T.IntegerType()), *RESULT_SCHEMA.fields]
     )
-    tagged: list[DataFrame] = []
-    per_q_ids: list[list[int]] = []
-    for qi, e in enumerate(exprs):
-        node = lower(e, term_of, optimize)
-        qids = sorted({t for t in plan_term_ids(node) if t > 0})
-        per_q_ids.append(qids)
-        if not qids:
-            continue
-        m = eval_match(ix, node)
-        tagged.append(m.select(F.lit(qi).alias("query_id"), *MATCH_COLS))
-    if not tagged:
+    if not all_ids:
         return ix.spark.createDataFrame([], out_schema)
-    matches = reduce(DataFrame.unionByName, tagged)
+
+    cand = (
+        ix.postings_for(set(all_ids))
+        .groupBy(*MATCH_COLS)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term_id", "positions"))
+            ).alias("posmap"),
+            F.first("dl").alias("dl"),
+        )
+    )
     if where:
-        matches = matches.join(
+        cand = cand.join(
             ix.turns.where(where).select(*MATCH_COLS), MATCH_COLS, "left_semi"
         )
     if where_doc:
-        matches = matches.join(
+        cand = cand.join(
             ix.doc_meta.where(where_doc).select("doc_id"), "doc_id", "left_semi"
         )
 
-    all_ids = sorted({t for qids in per_q_ids for t in qids})
     n_docs = ix.stats["N"]
     avgdl = ix.stats["avgdl"]
     dfs = {tid: df for tid, df in lut.values()}
-    # idf depends only on the term's global df — one map for the batch
-    idf_map = F.map_from_arrays(
-        F.array([F.lit(int(t)).cast("long") for t in all_ids]),
-        F.array([F.lit(bm25_idf(n_docs, dfs.get(t, 0))) for t in all_ids]),
-    )
-    # query_id → its scoring-term set (tiny literal map, broadcast free)
-    qterms_map = F.map_from_arrays(
-        F.array([F.lit(qi) for qi in range(len(queries))]),
-        F.array(
-            [
-                F.array([F.lit(int(t)).cast("long") for t in qids])
-                for qids in per_q_ids
-            ]
-        ),
-    )
-
-    post = ix.postings_for(set(all_ids)).select("term_id", *MATCH_COLS, "tf", "dl")
-    joined = matches.join(post, MATCH_COLS).where(
-        F.array_contains(
-            F.element_at(qterms_map, F.col("query_id")), F.col("term_id")
-        )
-    )
-    cand = joined.groupBy("query_id", *MATCH_COLS).agg(
-        F.sort_array(F.collect_list(F.struct("term_id", "tf"))).alias("contribs"),
-        F.first("dl").alias("dl"),
-    )
-
+    idf = {t: bm25_idf(n_docs, dfs.get(t, 0)) for t in all_ids}
+    posmap = F.col("posmap")
     dl = F.col("dl").cast("double")
-    score = F.aggregate(
-        F.col("contribs"),
-        F.lit(0.0),
-        lambda acc, x: acc
-        + (
-            (F.element_at(idf_map, x["term_id"]) * (x["tf"].cast("double") * F.lit(K1 + 1.0)))
-            / (
-                x["tf"].cast("double")
-                + F.lit(K1) * (F.lit(1.0 - B) + (F.lit(B) * dl) / F.lit(avgdl))
+    # per-turn bm25 denominator is shared by every term and query
+    denom_tail = F.lit(K1) * (F.lit(1.0 - B) + (F.lit(B) * dl) / F.lit(avgdl))
+
+    def q_score(qids: list[int]) -> Column:
+        # fold in ascending term_id order over the PRESENT terms — the same
+        # fold as score_matches' sorted contribs (missing terms contribute
+        # nothing rather than +0.0, keeping the float sequence identical)
+        present = F.filter(
+            F.array([F.lit(int(t)).cast("long") for t in qids]),
+            lambda t: F.map_contains_key(posmap, t),
+        )
+        idf_map = F.map_from_arrays(
+            F.array([F.lit(int(t)).cast("long") for t in qids]),
+            F.array([F.lit(idf[t]) for t in qids]),
+        )
+        return F.aggregate(
+            present,
+            F.lit(0.0),
+            lambda acc, t: acc
+            + (
+                F.element_at(idf_map, t)
+                * (F.size(F.try_element_at(posmap, t)).cast("double") * F.lit(K1 + 1.0))
             )
-        ),
+            / (
+                F.size(F.try_element_at(posmap, t)).cast("double") + denom_tail
+            ),
+        )
+
+    entries = F.array(
+        [
+            F.struct(
+                F.lit(qi).alias("query_id"),
+                F.coalesce(_batch_pred(node, posmap), F.lit(False)).alias("m"),
+                q_score(per_q_ids[qi]).alias("score"),
+            )
+            for qi, node in enumerate(nodes)
+            if per_q_ids[qi]
+        ]
     )
-    scored = cand.select("query_id", "doc_id", "turn_idx", score.alias("score"))
+    exploded = cand.select(
+        "doc_id",
+        "turn_idx",
+        F.explode(F.filter(entries, lambda x: x["m"])).alias("e"),
+    ).select(
+        F.col("e.query_id").alias("query_id"),
+        "doc_id",
+        "turn_idx",
+        F.col("e.score").alias("score"),
+    )
+
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id"), F.asc("turn_idx")
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        exploded.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .drop("rn")
         .orderBy("query_id", F.desc("score"), F.asc("doc_id"), F.asc("turn_idx"))

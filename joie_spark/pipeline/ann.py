@@ -5,14 +5,24 @@
     TakeOrderedAndProject for top-k.  O(N) per query but fully
     distributed; correct reference for the bucketed variants.
   * LSH-bucketed (random hyperplane signs): each vector gets a P-bit
-    signature from sign(dot(v, h_p)) with deterministic pseudo-random
-    hyperplanes derived from xxhash64 — candidates share the signature
-    bucket, turning full scans into a bucket equi-join at scale.
+    signature from sign(dot(v, h_p)); candidates share (or, with
+    multi-probe, nearly share) the signature bucket, turning full scans
+    into a bucket equi-join at scale.
+
+Scale path for signatures (VERDICT r1): the ±1 hyperplane components are
+computed ONCE driver-side (a tiny n_bits×dim Spark job keeps them
+bit-compatible with the legacy expression form) and shipped into an
+Arrow-batched pandas UDF — signature cost is one numpy pass per batch, so
+real embedding dims (768-4096) don't explode Catalyst with dim×n_bits
+literal CASE nodes the way the legacy `hyperplane_signature` expression
+does (kept below only as the equivalence oracle for tests).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -42,22 +52,30 @@ def cosine_expr(a: str | Column, b: str | Column) -> Column:
 def cosine_topk(
     emb: DataFrame, query_vec: list[float], k: int = 10
 ) -> DataFrame:
-    """Exact brute-force cosine top-k against a literal query vector."""
+    """Exact brute-force cosine top-k against a literal query vector.
+
+    Orders by the UNROUNDED cosine (rounding only the projected output) so
+    ties at the k boundary resolve identically to any exact oracle that
+    sorts on the raw value (ADVICE r1)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine_expr(F.col("embedding"), q)
     return (
-        emb.select("vec_id", F.round(sim, 4).alias("cos"))
-        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        emb.select("vec_id", sim.alias("sim_raw"))
+        .orderBy(F.desc("sim_raw"), F.asc("vec_id"))
         .limit(k)
+        .select("vec_id", F.round("sim_raw", 4).alias("cos"))
     )
 
 
-def hyperplane_signature(vec: str | Column, n_bits: int = 16, dim: int = 64) -> Column:
-    """Deterministic random-hyperplane signature.
+# ---------------------------------------------------------------------------
+# hyperplane signatures
 
-    Hyperplane p's component j is a pseudo-random ±1 derived from
-    xxhash64(p, j) — reproducible across runs/cluster sizes with no
-    stored model.  sign(dot(v, h_p)) gives bit p."""
+
+def hyperplane_signature(vec: str | Column, n_bits: int = 16, dim: int = 64) -> Column:
+    """Legacy expression-form signature (dim × n_bits literal nodes).
+
+    Kept as the equivalence oracle for the pandas path; do NOT use at real
+    embedding dims — Catalyst analysis/codegen blows up (VERDICT r1)."""
     bits = []
     for p in range(n_bits):
         comps = F.array(
@@ -84,25 +102,147 @@ def hyperplane_signature(vec: str | Column, n_bits: int = 16, dim: int = 64) -> 
     return sig
 
 
-def lsh_bucketed_topk(
-    emb: DataFrame, query_vec: list[float], k: int = 10, n_bits: int = 8
-) -> DataFrame:
-    """Bucketed ANN: restrict the exact scan to vectors sharing the query's
-    hyperplane bucket.  Recall < 1 by construction (approximate); at scale
-    the bucket column is a partition key so the scan prunes."""
-    dim = len(query_vec)
-    sigs = emb.withColumn(
-        "bucket", hyperplane_signature(F.col("embedding"), n_bits, dim)
+def hyperplane_components(
+    spark: SparkSession, n_bits: int, dim: int
+) -> np.ndarray:
+    """±1 hyperplane matrix H[p, j], computed once on the driver.
+
+    H[p, j] = +1 iff xxhash64(f"{p}:{j}") is even — the exact components
+    the legacy expression uses, derived via one tiny Spark job (n_bits×dim
+    rows) so signatures stay deterministic across runs AND bit-compatible
+    with the expression form.  Java and Python % agree on parity for
+    negative hashes (both return nonzero for odd values)."""
+    rows = (
+        spark.range(n_bits * dim)
+        .select(
+            F.col("id"),
+            F.xxhash64(
+                F.concat(
+                    F.expr(f"CAST(id div {dim} AS STRING)"),
+                    F.lit(":"),
+                    F.expr(f"CAST(id % {dim} AS STRING)"),
+                )
+            ).alias("h"),
+        )
+        .collect()
     )
-    qdf = emb.sparkSession.createDataFrame([(query_vec,)], "qv array<double>")
-    qsig = qdf.select(
-        hyperplane_signature(F.col("qv"), n_bits, dim).alias("b")
-    ).collect()[0]["b"]
-    cand = sigs.where(F.col("bucket") == qsig)
+    H = np.empty(n_bits * dim, dtype=np.float64)
+    for r in rows:
+        H[r["id"]] = 1.0 if r["h"] % 2 == 0 else -1.0
+    return H.reshape(n_bits, dim)
+
+
+def signature_of(vec: list[float] | np.ndarray, H: np.ndarray) -> int:
+    """Driver-side signature of one vector — same sequential fold as the
+    UDF/expression (j ascending), so boundary signs agree bitwise."""
+    n_bits, dim = H.shape
+    v = np.asarray(vec, dtype=np.float64)
+    d = np.zeros(n_bits, dtype=np.float64)
+    for j in range(dim):
+        d = d + v[j] * H[:, j]
+    sig = 0
+    for p in range(n_bits):
+        if d[p] >= 0:
+            sig |= 1 << p
+    return sig
+
+
+def make_signature_udf(H: np.ndarray):
+    """Arrow-batched signature UDF: one numpy accumulation pass per batch.
+
+    The fold accumulates over j in ascending order (acc + x_j * h_j), the
+    exact float64 sequence of the zip_with/aggregate expression, so signs
+    at the d == 0 boundary match the legacy form bitwise."""
+    n_bits, dim = H.shape
+    Hc = H.copy()
+
+    @F.pandas_udf("long")
+    def sig_udf(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int64")
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+        D = np.zeros((M.shape[0], n_bits), dtype=np.float64)
+        for j in range(dim):
+            D += M[:, j : j + 1] * Hc[:, j]
+        bits = (D >= 0).astype(np.int64)
+        out = (bits << np.arange(n_bits, dtype=np.int64)).sum(axis=1)
+        return pd.Series(out)
+
+    return sig_udf
+
+
+def add_signatures(
+    emb: DataFrame, n_bits: int = 16, col: str = "embedding",
+    out: str = "bucket", dim: int | None = None,
+) -> DataFrame:
+    """Attach hyperplane-LSH bucket signatures (scale path: write this
+    column once and hive-partition / cluster the table by it)."""
+    if dim is None:
+        dim = len(emb.select(col).first()[0])
+    H = hyperplane_components(emb.sparkSession, n_bits, dim)
+    return emb.withColumn(out, make_signature_udf(H)(F.col(col)))
+
+
+def _probe_buckets(qsig: int, n_bits: int, probe_hamming: int) -> list[int]:
+    """All signatures within Hamming ≤ probe_hamming of qsig (multi-probe:
+    a near-neighbour's signature usually differs in a few low-margin bits,
+    so probing adjacent buckets buys recall without touching the scan)."""
+    buckets = {qsig}
+    frontier = {qsig}
+    for _ in range(probe_hamming):
+        frontier = {
+            b ^ (1 << p) for b in frontier for p in range(n_bits)
+        } - buckets
+        buckets |= frontier
+    return sorted(buckets)
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_bits: int = 8,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Bucketed ANN: exact-rank only the vectors whose signature is within
+    `probe_hamming` bits of the query's (probe_hamming=0 → single bucket).
+    Recall < 1 by construction; measure it with lsh_recall()."""
+    dim = len(query_vec)
+    H = hyperplane_components(emb.sparkSession, n_bits, dim)
+    sigs = emb.withColumn("bucket", make_signature_udf(H)(F.col("embedding")))
+    qsig = signature_of(query_vec, H)
+    cand = sigs.where(
+        F.col("bucket").isin(_probe_buckets(qsig, n_bits, probe_hamming))
+    )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine_expr(F.col("embedding"), q)
     return (
-        cand.select("vec_id", F.round(sim, 4).alias("cos"))
-        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        cand.select("vec_id", sim.alias("sim_raw"))
+        .orderBy(F.desc("sim_raw"), F.asc("vec_id"))
         .limit(k)
+        .select("vec_id", F.round("sim_raw", 4).alias("cos"))
     )
+
+
+def lsh_recall(
+    emb: DataFrame,
+    query_vecs: list[list[float]],
+    k: int = 10,
+    n_bits: int = 8,
+    probe_hamming: int = 1,
+) -> float:
+    """Measured recall@k of the bucketed path vs the exact scan, averaged
+    over query_vecs — the number to report next to any n_bits/probe
+    choice."""
+    hits, total = 0, 0
+    for qv in query_vecs:
+        exact = {r["vec_id"] for r in cosine_topk(emb, qv, k).collect()}
+        approx = {
+            r["vec_id"]
+            for r in lsh_bucketed_topk(
+                emb, qv, k, n_bits=n_bits, probe_hamming=probe_hamming
+            ).collect()
+        }
+        hits += len(exact & approx)
+        total += len(exact)
+    return hits / total if total else 1.0

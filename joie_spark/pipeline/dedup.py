@@ -11,8 +11,9 @@ Scale notes (the point of each design):
     hash), never a cross join.  Hot buckets are bounded because bucket
     keys include the band hash (uniform).
   * SimHash: 64-bit signature via per-token hashes; near-dups differ in
-    few bits; bucketing on 16-bit chunks gives the banded variant
-    (Hamming ≤ 3 ⇒ some chunk equal).
+    few bits; simhash_neardup_pairs buckets on 16-bit chunks — pigeonhole:
+    Hamming ≤ 3 ⇒ some chunk equal, so the equi-join has FULL recall at
+    that radius — then verifies with exact bit_count(xor).
   * embedding cosine near-dup: exact threshold join over normalized
     vectors, JVM-side dot product.
 
@@ -136,6 +137,37 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_verified(
+    docs: DataFrame, k: int = 32, bands: int = 8, n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """The full scale-path dedup pipeline: LSH candidates (equi-join on
+    (band, bucket) — no cross join anywhere) verified with exact n-gram
+    Jaccard computed ONLY on the candidate pairs.
+
+    This is what a 100 TB dedup actually runs: |candidates| ≈ O(n · dup
+    rate), so the verify join touches a vanishing fraction of the n²
+    pair space.  Output: (a, b, jaccard) with jaccard ≥ threshold."""
+    cands = minhash_lsh_pairs(docs, k=k, bands=bands, n=n)
+    sh = shingles(docs.withColumn("tokens", sql_tokens()), n)
+    pairs = (
+        cands.join(
+            sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sa")),
+            "a",
+        ).join(
+            sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sb")),
+            "b",
+        )
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.select("a", "b", F.round(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash64(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per document: sign-sum of per-token 64-bit hashes.
 
@@ -158,6 +190,60 @@ def simhash64(docs: DataFrame) -> DataFrame:
         ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame, max_hamming: int = 3, n_chunks: int = 4
+) -> DataFrame:
+    """Banded SimHash near-dup pairs: bucket on 16-bit signature chunks.
+
+    Pigeonhole soundness: two signatures within Hamming distance
+    `max_hamming` < n_chunks differ in at most max_hamming bits, so at
+    least one of the n_chunks disjoint chunks is bit-identical — every
+    such pair appears in some chunk's equi-join bucket (FULL recall for
+    hamming ≤ n_chunks - 1).  Candidates are then verified with an exact
+    bit_count(xor) — all codegen, no cross join.
+
+    Output: (a, b, hamming) with hamming ≤ max_hamming."""
+    assert max_hamming < n_chunks, "pigeonhole needs max_hamming < n_chunks"
+    bits_per = 64 // n_chunks
+    mask = (1 << bits_per) - 1
+    sigs = simhash64(docs)
+    chunked = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), c * bits_per)
+                    .bitwiseAND(F.lit(mask))
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    left = chunked.alias("l")
+    right = chunked.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.col("l.simhash").alias("sa"),
+            F.col("r.simhash").alias("sb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.select("a", "b", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
 
 
 def embedding_neardup_pairs(

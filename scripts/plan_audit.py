@@ -67,6 +67,31 @@ def main() -> None:
     plan_h = explain_str(hi)
     results["highlight_after_topk"] = "MapInPandas" in plan_h
 
+    # 5. batch path: one scan, window top-k, still partition-pruned
+    plan_b = explain_str(
+        eng.search_many(["roll OR dice", '"crystal kingdom"', "roll AND dice"], k=5)
+    )
+    results["batch_partition_pruned"] = "PartitionFilters" in plan_b
+    results["batch_no_cross_join"] = (
+        "BroadcastNestedLoopJoin" not in plan_b and "CartesianProduct" not in plan_b
+    )
+
+    # 6. no cross join in any headline bench query (VERDICT r1: the bench
+    # must measure the scale paths, not the sampled pairwise oracles)
+    import __spark_entry__ as entrymod
+    from bench import HEADLINE
+
+    qmap = entrymod.queries()
+    sf_dir = "/root/testdata/sf0.001"
+    bad = []
+    for name in HEADLINE:
+        p = explain_str(qmap[name](spark, sf_dir))
+        if "BroadcastNestedLoopJoin" in p or "CartesianProduct" in p:
+            bad.append(name)
+    results["headline_no_cross_join"] = not bad
+    if bad:
+        print(f"  cross joins in: {bad}")
+
     print()
     ok = True
     for k, v in results.items():

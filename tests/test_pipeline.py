@@ -85,18 +85,118 @@ def test_ann_bruteforce_topk_and_bucketed_subset(spark):
         nb = math.sqrt(sum(x * x for x in b))
         return d / (na * nb)
 
+    # oracle sorts by the UNROUNDED cosine (matching cosine_topk + duckdb)
     want = sorted(
-        ((round(cos(v, qv), 4), i) for i, v in rows if i != 0),
+        ((cos(v, qv), i) for i, v in rows if i != 0),
         key=lambda t: (-t[0], t[1]),
     )[:10]
     got = [(r["cos"], r["vec_id"]) for r in exact]
-    assert got == [(s, i) for s, i in want]
+    assert got == [(round(s, 4), i) for s, i in want]
 
     approx = ann.lsh_bucketed_topk(emb.where(F.col("vec_id") != 0), qv, k=10, n_bits=4).collect()
     # bucketed results are a subset of the corpus ranked identically
     exact_rank = {r["vec_id"]: r["cos"] for r in exact}
     for r in approx:
         assert isinstance(r["vec_id"], int)
+
+
+def test_simhash_banded_pairs_full_recall_at_radius(docs):
+    """Pigeonhole recall: every pair with exact Hamming ≤ 3 must appear in
+    simhash_neardup_pairs (bucketed equi-join), with no cross join."""
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    want = {
+        (a, b): ham(sa, sb)
+        for a, sa in sigs.items()
+        for b, sb in sigs.items()
+        if a < b and ham(sa, sb) <= 3
+    }
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in dedup.simhash_neardup_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == want
+    assert want, "fixture must contain a Hamming<=3 pair (exact dup pair)"
+    plan = dedup.simhash_neardup_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_lsh_verified_subset_of_exact(docs):
+    """Verified LSH output must be exact-Jaccard-correct on every emitted
+    pair (candidates ⊆ exact pairs after the verify join)."""
+    exact = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, sample_mod=1, threshold=0.0).collect()
+    }
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_verified(docs, threshold=0.7).collect()
+    }
+    assert got, "fixture has jaccard>=0.7 pairs the LSH must find"
+    for pair, j in got.items():
+        assert exact[pair] == j and j >= 0.7
+    plan = dedup.minhash_lsh_verified(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pandas_signatures_match_expression_form(spark):
+    """The Arrow-batched signature path must equal the legacy expression
+    form bit-for-bit (same hyperplanes, same fold order)."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    legacy = {
+        r["vec_id"]: r["s"]
+        for r in emb.select(
+            "vec_id", ann.hyperplane_signature(F.col("embedding"), 8, 16).alias("s")
+        ).collect()
+    }
+    fast = {
+        r["vec_id"]: r["bucket"]
+        for r in ann.add_signatures(emb, n_bits=8, dim=16).collect()
+    }
+    assert fast == legacy
+
+
+def test_signatures_at_high_dim_no_blowup(spark):
+    """dim=1024 signatures must compute without Catalyst expression blowup
+    (the legacy form would need 16k+ literal CASE nodes)."""
+    import random
+    import time
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(1024)]) for i in range(32)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    t0 = time.time()
+    got = ann.add_signatures(emb, n_bits=16, dim=1024).collect()
+    assert len(got) == 32 and all(r["bucket"] is not None for r in got)
+    assert time.time() - t0 < 60
+
+
+def test_multiprobe_recall_not_worse(spark):
+    import random
+
+    rng = random.Random(9)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(30)]
+    rows = []
+    vid = 0
+    for v in base:
+        for _ in range(3):  # planted clusters → near neighbours exist
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = [rows[i][1] for i in (0, 9, 21)]
+    r0 = ann.lsh_recall(emb, queries, k=5, n_bits=6, probe_hamming=0)
+    r1 = ann.lsh_recall(emb, queries, k=5, n_bits=6, probe_hamming=1)
+    assert r1 >= r0
+    assert r1 >= 0.5, f"multi-probe recall suspiciously low: {r1}"
 
 
 def test_multimodal_feature_plumbing(spark):
