@@ -42,7 +42,16 @@ import shutil
 
 from ..functions.codec import TURN_BITS, delta_encode, varint_encode
 from ..oracle import B, K1
-from ..sources.tables import Manifest, dir_bytes, read_stats, table_path, write_stats
+from ..sources.tables import (
+    Manifest,
+    TableFormat,
+    detect_format,
+    dir_bytes,
+    format_by_name,
+    read_stats,
+    table_path,
+    write_stats,
+)
 
 GROUPED_TYPE = T.ArrayType(
     T.StructType(
@@ -204,6 +213,12 @@ def build_index(
 ) -> Manifest:
     """Build (or resume building) an index at index_dir."""
     man = Manifest.load(index_dir)
+    # format pinned by the first committed stage; fresh builds auto-detect
+    # (Iceberg when its runtime is on the classpath — sources/tables.py)
+    committed_fmt = man.table_format()
+    fmt: TableFormat = (
+        format_by_name(committed_fmt) if committed_fmt else detect_format(spark)
+    )
     src = spark.read.parquet(source) if isinstance(source, str) else source
     # normalize to the input_hint schema (turn_idx:int32) regardless of how
     # the caller materialized the DataFrame
@@ -261,20 +276,21 @@ def build_index(
                 f"turn_idx out of packable range [0, {1 << TURN_BITS}): "
                 f"min={rng['lo']} max={rng['hi']}"
             )
-        (
+        fmt.write(
             spark.read.parquet(tmp_path)
             .repartitionByRange(F.col("doc_id"))
-            .sortWithinPartitions("doc_id", "turn_idx")
-            .write.mode("overwrite")
-            .parquet(turns_path)
+            .sortWithinPartitions("doc_id", "turn_idx"),
+            index_dir,
+            "turns",
         )
         _rmtree(tmp_path)
         dt = time.time() - t0
-        n = spark.read.parquet(turns_path).count() if collect_metrics else -1
+        n = fmt.read(spark, index_dir, "turns").count() if collect_metrics else -1
         man.commit(
             "turns", rows=n, seconds=round(dt, 3),
             turns_per_sec=round(n / dt, 1) if n > 0 else None,
-            bytes=dir_bytes(turns_path),
+            bytes=dir_bytes(turns_path) if fmt.name == "parquet" else None,
+            table_format=fmt.name,
         )
 
     return build_from_turns(
@@ -300,11 +316,15 @@ def build_from_turns(
     """Stages 2-5 over an existing turns table (used by build_index and by
     the shard merge, which unions pre-tokenized turns — operators/merge.py)."""
     man = Manifest.load(index_dir)
+    committed_fmt = man.table_format()
+    fmt: TableFormat = (
+        format_by_name(committed_fmt) if committed_fmt else detect_format(spark)
+    )
     dict_path = table_path(index_dir, "term_dict")
     post_path = table_path(index_dir, "postings")
     block_path = table_path(index_dir, "blocks")
     meta_path = table_path(index_dir, "doc_meta")
-    turns = spark.read.parquet(table_path(index_dir, "turns"))
+    turns = fmt.read(spark, index_dir, "turns")
 
     # Resume safety (ADVICE r1): postings bucketing and block chunking are
     # pinned by the FIRST commit of stage `stats`; resuming with different
@@ -329,7 +349,7 @@ def build_from_turns(
     # DocumentFilter predicates become a plain .where() on this table) ----
     if not man.is_done("doc_meta"):
         t0 = time.time()
-        (
+        fmt.write(
             turns.groupBy("doc_id")
             .agg(
                 F.first("conv_id").alias("conv_id"),
@@ -340,12 +360,14 @@ def build_from_turns(
                 F.array_sort(F.collect_set("role")).alias("roles"),
             )
             .repartitionByRange(F.col("doc_id"))
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-            .parquet(meta_path)
+            .sortWithinPartitions("doc_id"),
+            index_dir,
+            "doc_meta",
         )
         man.commit(
-            "doc_meta", seconds=round(time.time() - t0, 3), bytes=dir_bytes(meta_path)
+            "doc_meta", seconds=round(time.time() - t0, 3),
+            bytes=dir_bytes(meta_path) if fmt.name == "parquet" else None,
+            table_format=fmt.name,
         )
 
     # ---- stage 2: term_dict --------------------------------------------
@@ -358,18 +380,22 @@ def build_from_turns(
             F.count("*").cast("long").alias("df"), F.sum("tf").alias("cf")
         )
         ids = assign_dense_ids(stats_per_term, "term", "term_id")
-        (
+        fmt.write(
             stats_per_term.join(ids, "term")
             .select("term", "term_id", "df", "cf")
             .repartitionByRange(F.col("term_id"))
-            .sortWithinPartitions("term_id")
-            .write.mode("overwrite")
-            .parquet(dict_path)
+            .sortWithinPartitions("term_id"),
+            index_dir,
+            "term_dict",
         )
         release_dense_ids(ids)
         dt = time.time() - t0
-        n = spark.read.parquet(dict_path).count() if collect_metrics else -1
-        man.commit("term_dict", rows=n, seconds=round(dt, 3), bytes=dir_bytes(dict_path))
+        n = fmt.read(spark, index_dir, "term_dict").count() if collect_metrics else -1
+        man.commit(
+            "term_dict", rows=n, seconds=round(dt, 3),
+            bytes=dir_bytes(dict_path) if fmt.name == "parquet" else None,
+            table_format=fmt.name,
+        )
 
     # ---- stage 3: stats -------------------------------------------------
     if not man.is_done("stats"):
@@ -377,7 +403,7 @@ def build_from_turns(
         agg = turns.agg(
             F.count("*").alias("n"), F.sum("dl").alias("total_dl")
         ).collect()[0]
-        n_terms = spark.read.parquet(dict_path).count()
+        n_terms = fmt.read(spark, index_dir, "term_dict").count()
         write_stats(
             index_dir,
             {
@@ -389,6 +415,7 @@ def build_from_turns(
                 "docs_per_block": docs_per_block,
                 "block_chunks": block_chunks,
                 "turn_bits": TURN_BITS,
+                "table_format": fmt.name,
             },
         )
         man.commit("stats", N=agg["n"], seconds=round(time.time() - t0, 3))
@@ -399,7 +426,7 @@ def build_from_turns(
     # ---- stage 4: postings ----------------------------------------------
     if not man.is_done("postings"):
         t0 = time.time()
-        term_dict = spark.read.parquet(dict_path)
+        term_dict = fmt.read(spark, index_dir, "term_dict")
         # `grouped` already carries the per-turn positional index, so the
         # postings table is a pure explode + dictionary join — the
         # (term, doc, turn) aggregation the naive plan would shuffle was
@@ -417,7 +444,7 @@ def build_from_turns(
         postings = exploded.join(
             term_dict.select("term", "term_id"), "term"
         ).withColumn("bucket", F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int"))
-        (
+        fmt.write(
             postings.select(
                 "term_id", "doc_id", "turn_idx", "tf", "positions", "dl", "bucket"
             )
@@ -425,22 +452,23 @@ def build_from_turns(
             # leading with the partition column lets FileFormatWriter keep
             # this ordering (otherwise it re-sorts by bucket alone and the
             # (term_id, doc, turn) file order is lost)
-            .sortWithinPartitions("bucket", "term_id", "doc_id", "turn_idx")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(post_path)
+            .sortWithinPartitions("bucket", "term_id", "doc_id", "turn_idx"),
+            index_dir,
+            "postings",
+            partition_by=["bucket"],
         )
         dt = time.time() - t0
-        n = spark.read.parquet(post_path).count() if collect_metrics else -1
+        n = fmt.read(spark, index_dir, "postings").count() if collect_metrics else -1
         man.commit(
             "postings", rows=n, seconds=round(dt, 3),
             postings_per_sec=round(n / dt, 1) if n > 0 else None,
-            bytes=dir_bytes(post_path),
+            bytes=dir_bytes(post_path) if fmt.name == "parquet" else None,
+            table_format=fmt.name,
         )
 
     # ---- stage 5: blocks (chunked → resumable mid-stage) ------------------
     encode_udf = make_encode_udf(avgdl)
-    postings = spark.read.parquet(post_path)
+    postings = fmt.read(spark, index_dir, "postings")
     for chunk in range(block_chunks):
         unit = f"chunk={chunk}"
         if man.is_done("blocks", unit):
@@ -484,24 +512,31 @@ def build_from_turns(
                 F.col("enc.max_part").alias("max_part"),
             )
         )
-        out = f"{block_path}/chunk={chunk}"
-        (
+        loc = fmt.write(
             grouped.repartition(F.col("bucket"))
-            .sortWithinPartitions("bucket", "term_id", "block_id")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(out)
+            .sortWithinPartitions("bucket", "term_id", "block_id"),
+            index_dir,
+            "blocks",
+            partition_by=["bucket"],
+            subunit=f"chunk={chunk}",
         )
         dt = time.time() - t0
         if collect_metrics:
-            bdf = spark.read.parquet(out)
+            if fmt.name == "parquet":
+                bdf = spark.read.parquet(loc)
+            else:
+                bdf = fmt.read(spark, index_dir, "blocks").where(
+                    F.pmod(F.col("bucket"), F.lit(block_chunks)) == chunk
+                )
             n_blocks = bdf.count()
             fan_in = bdf.agg(F.avg("n")).collect()[0][0]
         else:
             n_blocks, fan_in = -1, None
         man.commit(
             "blocks", unit, rows=n_blocks, seconds=round(dt, 3),
-            avg_postings_per_block=round(fan_in or 0.0, 2), bytes=dir_bytes(out),
+            avg_postings_per_block=round(fan_in or 0.0, 2),
+            bytes=dir_bytes(loc) if fmt.name == "parquet" else None,
+            table_format=fmt.name,
         )
 
     if not man.is_done("build"):

@@ -29,8 +29,23 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import Manifest, dir_bytes, table_path
+from ..sources.tables import (
+    Manifest,
+    dir_bytes,
+    detect_format,
+    format_by_name,
+    read_stats,
+    table_path,
+)
 from .build import assign_dense_ids, build_from_turns, release_dense_ids
+
+
+def _shard_format(shard_dir: str):
+    """Each shard reads with the format its own build recorded."""
+    try:
+        return format_by_name(read_stats(shard_dir).get("table_format", "parquet"))
+    except FileNotFoundError:
+        return format_by_name("parquet")
 
 
 def merge_indexes(
@@ -45,10 +60,15 @@ def merge_indexes(
     man = Manifest.load(out_dir)
     turns_path = table_path(out_dir, "turns")
 
+    fmt = (
+        format_by_name(man.table_format())
+        if man.table_format()
+        else detect_format(spark)
+    )
     if not man.is_done("turns"):
         t0 = time.time()
         shards = [
-            spark.read.parquet(table_path(d, "turns")).drop("doc_id")
+            _shard_format(d).read(spark, d, "turns").drop("doc_id")
             for d in shard_dirs
         ]
         unioned = shards[0]
@@ -66,18 +86,20 @@ def merge_indexes(
             "doc_id", "turn_idx", "conv_id", "role", "tool", "ts",
             "text", "starts", "ends", "grouped", "dl",
         )
-        (
+        fmt.write(
             merged.repartitionByRange(F.col("doc_id"))
-            .sortWithinPartitions("doc_id", "turn_idx")
-            .write.mode("overwrite")
-            .parquet(turns_path)
+            .sortWithinPartitions("doc_id", "turn_idx"),
+            out_dir,
+            "turns",
         )
         release_dense_ids(doc_map)
         dt = time.time() - t0
         man.commit(
             "turns", rows=n_rows, seconds=round(dt, 3),
             merge_fan_in=len(shard_dirs),
-            turns_per_sec=round(n_rows / dt, 1), bytes=dir_bytes(turns_path),
+            turns_per_sec=round(n_rows / dt, 1),
+            bytes=dir_bytes(turns_path) if fmt.name == "parquet" else None,
+            table_format=fmt.name,
         )
 
     return build_from_turns(

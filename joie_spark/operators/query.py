@@ -129,27 +129,29 @@ class Index:
     """Reader over an index directory built by operators.build."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
+        from ..sources.tables import format_by_name
+
         self.spark = spark
         self.index_dir = index_dir
         self.stats = read_stats(index_dir)
-        self.turns = spark.read.parquet(table_path(index_dir, "turns"))
-        self.postings = spark.read.parquet(table_path(index_dir, "postings"))
-        self.term_dict = spark.read.parquet(table_path(index_dir, "term_dict"))
+        # table format pinned at build time (stats.json); parquet default
+        self.fmt = format_by_name(self.stats.get("table_format", "parquet"))
+        self.turns = self.fmt.read(spark, index_dir, "turns")
+        self.postings = self.fmt.read(spark, index_dir, "postings")
+        self.term_dict = self.fmt.read(spark, index_dir, "term_dict")
         self._blocks: DataFrame | None = None
         self._doc_meta: DataFrame | None = None
 
     @property
     def doc_meta(self) -> DataFrame:
         if self._doc_meta is None:
-            self._doc_meta = self.spark.read.parquet(
-                table_path(self.index_dir, "doc_meta")
-            )
+            self._doc_meta = self.fmt.read(self.spark, self.index_dir, "doc_meta")
         return self._doc_meta
 
     @property
     def blocks(self) -> DataFrame:
         if self._blocks is None:
-            self._blocks = self.spark.read.parquet(table_path(self.index_dir, "blocks"))
+            self._blocks = self.fmt.read(self.spark, self.index_dir, "blocks")
         return self._blocks
 
     def lookup_terms(self, words: list[str]) -> dict[str, tuple[int, int]]:

@@ -16,23 +16,143 @@ reference's 4 mmap files, engine/src/lib.rs:120-156):
       _manifest.jsonl  per-stage/per-chunk lineage + metrics; the
                      checkpoint log that makes the build resumable
 
-The table format is an abstraction point: when an Iceberg runtime jar is
-on the classpath we would commit these as Iceberg tables (snapshot commit
-= persist, engine/src/lib.rs:120-156); this sandbox has no Iceberg jar, so
-the local implementation is hive-partitioned Parquet plus an explicit
-manifest — the layout (bucket partitioning, sorted files, min/max
-data-skipping) is format-independent.
+The table format is an abstraction point (TableFormat below): build and
+query go through write_table/read_table.  ParquetManifestFormat is the
+local implementation (hive-partitioned parquet + the explicit manifest);
+IcebergFormat commits the same tables as Iceberg snapshots
+(createOrReplace / overwritePartitions are the idempotent equivalents of
+the parquet dir overwrites) and activates when an Iceberg SparkCatalog is
+on the classpath — detect_format().  The layout contract (bucket
+partitioning, sorted files, min/max data-skipping) is format-independent.
 """
 
 from __future__ import annotations
 
+import abc
 import json
 import os
 import time
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "_manifest.jsonl"
+
+
+class TableFormat(abc.ABC):
+    """Storage seam for the index tables (north rule: Iceberg tables).
+
+    `subunit` addresses a resumable slice of a table (the blocks stage
+    commits per chunk); implementations must make re-writing a subunit
+    idempotent."""
+
+    name: str
+
+    @abc.abstractmethod
+    def write(
+        self,
+        df: DataFrame,
+        index_dir: str,
+        table: str,
+        partition_by: Sequence[str] = (),
+        subunit: str | None = None,
+    ) -> str:
+        """Commit `df` as (a slice of) `table`; returns a location/ident."""
+
+    @abc.abstractmethod
+    def read(self, spark: SparkSession, index_dir: str, table: str) -> DataFrame:
+        ...
+
+
+class ParquetManifestFormat(TableFormat):
+    """Hive-partitioned parquet, one directory per table; dir overwrite is
+    the atomic-enough commit (the manifest entry is the real checkpoint)."""
+
+    name = "parquet"
+
+    def write(self, df, index_dir, table, partition_by=(), subunit=None):
+        path = table_path(index_dir, table)
+        if subunit:
+            path = os.path.join(path, subunit)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        return path
+
+    def read(self, spark, index_dir, table):
+        return spark.read.parquet(table_path(index_dir, table))
+
+
+class IcebergFormat(TableFormat):
+    """Iceberg snapshot commits via the DataFrameWriterV2 API.
+
+    Table identifier: <catalog>.<namespace>.<index name>_<table>; a
+    subunit write targets the same table with overwritePartitions (the
+    subunit's rows carry their own partition values, so re-running a
+    chunk replaces exactly its partitions — idempotent resume, matching
+    the parquet impl's subdir overwrite)."""
+
+    name = "iceberg"
+
+    def __init__(self, catalog: str = "local", namespace: str = "joie"):
+        self.catalog = catalog
+        self.namespace = namespace
+
+    def ident(self, index_dir: str, table: str) -> str:
+        base = os.path.basename(os.path.normpath(index_dir))
+
+        def safe(s: str) -> str:
+            return "".join(c if c.isalnum() else "_" for c in s).strip("_")
+
+        return f"{self.catalog}.{self.namespace}.{safe(base)}_{safe(table)}"
+
+    def write(self, df, index_dir, table, partition_by=(), subunit=None):
+        from pyspark.sql import functions as F
+
+        ident = self.ident(index_dir, table)
+        spark = df.sparkSession
+        exists = spark.catalog.tableExists(ident)
+        if subunit is None or not exists:
+            w = df.writeTo(ident).using("iceberg")
+            if partition_by:
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
+        else:
+            df.writeTo(ident).overwritePartitions()
+        return ident
+
+    def read(self, spark, index_dir, table):
+        return spark.table(self.ident(index_dir, table))
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def detect_format(spark: SparkSession) -> TableFormat:
+    """Pick the table format: JOIE_TABLE_FORMAT env overrides; otherwise
+    Iceberg when its runtime is present, else parquet+manifest."""
+    forced = os.environ.get("JOIE_TABLE_FORMAT")
+    if forced == "iceberg":
+        return IcebergFormat()
+    if forced == "parquet":
+        return ParquetManifestFormat()
+    if forced:
+        raise ValueError(f"unknown JOIE_TABLE_FORMAT={forced!r}")
+    return IcebergFormat() if iceberg_available(spark) else ParquetManifestFormat()
+
+
+def format_by_name(name: str) -> TableFormat:
+    return {"parquet": ParquetManifestFormat, "iceberg": IcebergFormat}[name]()
 
 
 @dataclass
@@ -59,6 +179,14 @@ class Manifest:
             e["stage"] == stage and e["unit"] == unit and e["status"] == "done"
             for e in self.entries
         )
+
+    def table_format(self) -> str | None:
+        """Format recorded by the first committed stage (pinned for the
+        index's lifetime so a resume can't mix formats)."""
+        for e in self.entries:
+            if e.get("table_format"):
+                return e["table_format"]
+        return None
 
     def commit(self, stage: str, unit: str = "*", **metrics: Any) -> dict:
         entry = {
