@@ -149,6 +149,59 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+BATCH_TERMS: dict[int, tuple[str, ...]] = {
+    0: ("spark", "window", "query"),
+    1: ("fast", "table", "scan"),
+    2: ("group", "order"),
+}
+
+
+def q_bm25_batch(spark, sf_dir):
+    """Batch BM25 top-10 per query_id — the oracle-checkable shape of
+    Engine.search_many (one tokenization pass, per-query scores, windowed
+    per-query top-k)."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).withColumn("tokens", text.sql_tokens()).cache()
+    tok = docs.select("doc_id", F.explode("tokens").alias("term"))
+    dl = docs.select("doc_id", F.size("tokens").cast("long").alias("dl"))
+    st = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n, avgdl = st["n"], st["avgdl"]
+
+    all_terms = sorted({t for ts in BATCH_TERMS.values() for t in ts})
+    tf = (
+        tok.where(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    base = tf.join(dfc, "term").join(dl, "doc_id")
+
+    per_q = []
+    for qid, terms in BATCH_TERMS.items():
+        contrib = (
+            F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * F.lit(2.2))
+            / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
+        )
+        per_q.append(
+            base.where(F.col("term").isin(list(terms)))
+            .groupBy("doc_id")
+            .agg(F.sum(contrib).alias("s"))
+            .select(F.lit(qid).alias("query_id"), "doc_id", "s")
+        )
+    import functools
+
+    scored = functools.reduce(DataFrame.unionByName, per_q)
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("query_id", "doc_id", F.round("s", 4).alias("score"))
+        .orderBy("query_id", F.desc("s"), F.asc("doc_id"))
+    )
+
+
 def q_union_dedup(spark, sf_dir):
     d = _docs(spark, sf_dir)
     a = d.where(F.col("lang") == "en").select("doc_id")
@@ -183,6 +236,17 @@ def q_topk_longest(spark, sf_dir):
 
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_dup_clusters(spark, sf_dir):
+    """Connected-component dedup clusters (pipeline/dedup.py
+    duplicate_clusters — distributed min-label propagation) over sampled
+    n-gram-Jaccard near-dup pairs (the oracle-able pair source; the scale
+    path clusters minhash_lsh_verified pairs instead)."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, sample_mod=5, threshold=0.5
+    ).select("a", "b")
+    return dedup.duplicate_clusters(pairs).orderBy("doc_id")
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -234,6 +298,10 @@ def q_lang_id(spark, sf_dir):
 
 def q_fingerprint(spark, sf_dir):
     return text.fingerprint(_docs(spark, sf_dir))
+
+
+def q_bpe_token_count(spark, sf_dir):
+    return text.bpe_token_count(_docs(spark, sf_dir))
 
 
 def q_token_count_by_lang(spark, sf_dir):
@@ -346,10 +414,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "and_intersect": q_and_intersect,
         "phrase_adjacency": q_phrase_adjacency,
         "bm25_topk": q_bm25_topk,
+        "bm25_batch": q_bm25_batch,
         "union_dedup": q_union_dedup,
         "doc_filter_agg": q_doc_filter_agg,
         "topk_longest": q_topk_longest,
         "dedup_exact": q_dedup_exact,
+        "dup_clusters": q_dup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_verified": q_minhash_lsh_verified,
@@ -361,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "bpe_token_count": q_bpe_token_count,
         "token_count_by_lang": q_token_count_by_lang,
         "pricing_summary": q_pricing_summary,
         "join_revenue_topk": q_join_revenue_topk,
@@ -369,6 +440,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _STOP = ",".join(f"'{s}'" for s in text.STOPWORDS)
+_BPE = text.BPE_PATTERN
+_BATCH_ALL = ",".join(
+    f"'{t}'" for t in sorted({t for ts in BATCH_TERMS.values() for t in ts})
+)
+_BATCH_UNION = " UNION ALL ".join(
+    f"""SELECT {qid} AS query_id, doc_id,
+        sum(ln(1.0 + (st.n - df + 0.5)/(df + 0.5)) * (tf * 2.2)
+            / (tf + 1.2*(0.25 + 0.75*dl/st.avgdl))) AS s
+        FROM base CROSS JOIN st
+        WHERE term IN ({','.join(f"'{t}'" for t in terms)})
+        GROUP BY doc_id"""
+    for qid, terms in BATCH_TERMS.items()
+)
 _MARKERS = ",".join(f"'{m}'" for m in ["the", "a", "and", "of", "to", "is", "in", "that"])
 _TERMS3 = ",".join(f"'{t}'" for t in BM25_TERMS)
 
@@ -414,6 +498,22 @@ def oracle_sql() -> dict[str, str]:
                          * (tf.tf * 2.2)
                          / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl))) DESC, tf.doc_id
             LIMIT 10""",
+        "bm25_batch": f"""
+            WITH tok AS (SELECT doc_id, unnest({TOK_DD}) AS term FROM documents),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+            st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+                   WHERE term IN ({_BATCH_ALL}) GROUP BY doc_id, term),
+            dfc AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            base AS (SELECT tf.doc_id, tf.term, tf.tf, dfc.df, dl.dl
+                     FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id)),
+            scored AS ({_BATCH_UNION}),
+            r AS (SELECT query_id, doc_id, s,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY s DESC, doc_id) AS rn
+                  FROM scored)
+            SELECT query_id, doc_id, round(s, 4) AS score FROM r
+            WHERE rn <= 10 ORDER BY query_id, s DESC, doc_id""",
         "union_dedup": """
             SELECT DISTINCT doc_id FROM (
               SELECT doc_id FROM documents WHERE lang = 'en'
@@ -428,6 +528,31 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS h, count(*)::BIGINT AS cnt, min(doc_id) AS keeper
             FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
+        "dup_clusters": f"""
+            WITH sh AS (
+              SELECT doc_id, list_distinct(
+                list_transform(generate_series(1, greatest(len({TOK_DD}) - 2, 0)),
+                               i -> array_to_string(({TOK_DD})[i:i+2], ' '))) AS s
+              FROM documents),
+            pairs AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE a.doc_id % 5 = 0
+                AND (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) > 0
+                AND round(len(list_intersect(a.s, b.s))::DOUBLE /
+                          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE, 4)
+                    > 0.5),
+            verts AS (SELECT a AS v FROM pairs UNION SELECT b FROM pairs),
+            edges AS (SELECT a AS src, b AS dst FROM pairs
+                      UNION SELECT b, a FROM pairs),
+            reach AS (
+              WITH RECURSIVE r(v, u) AS (
+                SELECT v, v FROM verts
+                UNION
+                SELECT r.v, e.dst FROM r JOIN edges e ON r.u = e.src
+              ) SELECT v, u FROM r)
+            SELECT v AS doc_id, min(u) AS cluster_id FROM reach
+            GROUP BY v ORDER BY doc_id""",
         "ngram_jaccard": f"""
             WITH sh AS (
               SELECT doc_id, list_distinct(
@@ -487,6 +612,11 @@ def oracle_sql() -> dict[str, str]:
             FROM s""",
         "fingerprint": f"""
             SELECT doc_id, md5(array_to_string({TOK_DD}, ' ')) AS fp FROM documents""",
+        "bpe_token_count": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_BPE}'))::BIGINT AS n_bpe_tokens,
+                   length(text)::BIGINT AS n_chars_raw
+            FROM documents""",
         "token_count_by_lang": f"""
             SELECT lang, sum(len({TOK_DD}))::BIGINT AS total_tokens
             FROM documents GROUP BY lang""",

@@ -47,7 +47,24 @@ ENGINE_QUERIES = [
     '"slow fast" OR "row scan"',
     "window OR spark OR query OR stream",
 ]
-ENGINE_BATCH_REPEAT = 4  # 5 queries x 4 = 20-query search_many batch
+# 20 DISTINCT queries for the batch job (duplicates would overstate QPS)
+ENGINE_BATCH = ENGINE_QUERIES + [
+    "fast OR slow",
+    "table AND row",
+    "scan OR batch OR group",
+    '"row scan" AND table',
+    "query AND window",
+    "stream OR group",
+    "spark AND query OR window",
+    '"fast table" AND scan',
+    "order OR batch",
+    "row AND scan AND table",
+    "window AND stream",
+    "slow OR row OR scan",
+    '"slow fast" AND row',
+    "group AND order",
+    "spark OR stream OR batch",
+]
 
 
 def main() -> None:
@@ -92,7 +109,7 @@ def main() -> None:
         # warm-up then the timed batch: the whole query set in ONE
         # search_many job (per-query driver latency amortized — the
         # engine's throughput story; see Engine.search_many)
-        batch = ENGINE_QUERIES * ENGINE_BATCH_REPEAT
+        batch = ENGINE_BATCH
         eng.search_many(ENGINE_QUERIES, k=10).collect()
         t0 = time.time()
         n_rows = len(eng.search_many(batch, k=10).collect())

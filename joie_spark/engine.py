@@ -131,6 +131,14 @@ class Engine:
         q = " OR ".join(w.replace('"', " ") for w in words)
         return self.search(q, k=k, where=where, where_doc=where_doc)
 
+    def builder(self) -> "QueryBuilder":
+        """Chaining programmatic query builder (QueryBuilder::start →
+        filter_documents → phrases/keywords, engine/src/query/mod.rs:46-102;
+        compose with & / |).  Shares the planner with the string frontend."""
+        from .plans.builder import QueryBuilder
+
+        return QueryBuilder(self)
+
     def get_doc(self, doc_id: int) -> DataFrame:
         """All turns of a conversation (Database::get_doc, lib.rs:104-110)."""
         return self.index.turns.where(F.col("doc_id") == doc_id).orderBy("turn_idx")

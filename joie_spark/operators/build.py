@@ -141,7 +141,9 @@ def assign_dense_ids(df: DataFrame, col: str, out: str, start: int = 1) -> DataF
         acc += r["n"]
     if not offset:
         base.unpersist()
-        return base.select(col, F.lit(None).cast("long").alias(out)).where(F.lit(False))
+        empty = base.select(col, F.lit(None).cast("long").alias(out)).where(F.lit(False))
+        empty._joie_total = 0
+        return empty
     off_expr = F.element_at(
         F.map_from_arrays(
             F.array([F.lit(int(p)) for p in offset]),
@@ -154,6 +156,7 @@ def assign_dense_ids(df: DataFrame, col: str, out: str, start: int = 1) -> DataF
         col, (F.row_number().over(w).cast("long") + off_expr - 1).alias(out)
     )
     ranked._joie_persisted = base  # released by release_dense_ids()
+    ranked._joie_total = acc - start  # distinct-key count (free: from pass 1)
     return ranked
 
 
@@ -232,14 +235,37 @@ def build_index(
     # ---- stage 1: turns ------------------------------------------------
     if not man.is_done("turns"):
         t0 = time.time()
+        # codec invariant: packed id = doc_id << TURN_BITS | turn_idx needs
+        # 0 <= turn_idx < 2^TURN_BITS or the blocks table silently corrupts
+        # (functions/codec.py:21); validate on the RAW input (fail fast,
+        # column-pruned scan, no tokenized table left behind)
+        rng = src.agg(
+            F.min("turn_idx").alias("lo"), F.max("turn_idx").alias("hi")
+        ).collect()[0]
+        if rng["lo"] is not None and (rng["lo"] < 0 or rng["hi"] >= (1 << TURN_BITS)):
+            raise ValueError(
+                f"turn_idx out of packable range [0, {1 << TURN_BITS}): "
+                f"min={rng['lo']} max={rng['hi']}"
+            )
         doc_map = assign_dense_ids(src, "conv_id", "doc_id")
-        # spread the input before the tokenizer UDF: the source may be a
-        # single file (1 scan partition) and doc_map broadcast-joins, so
-        # without this the Arrow tokenizer would run in one task
+        # Single-pass layout trick: doc_id is the dense RANK of conv_id, so
+        # range-partitioning the RAW input by conv_id (cheap sampling — no
+        # UDF upstream) yields exactly the doc_id range layout; the dense
+        # ids then arrive via a broadcast join that preserves partitioning,
+        # the tokenizer UDF runs ONCE inside the write pass, and
+        # sortWithinPartitions gives the (doc_id, turn_idx) file order.
+        # This replaces the old two-pass tmp-parquet materialization
+        # (write + read + second shuffle + write of the full data).
         par = spark.sparkContext.defaultParallelism
+        # broadcast the dense-id map when it fits comfortably in executor
+        # memory (each entry ~50 B → 50M convs ≈ 2.5 GB); beyond that fall
+        # back to a shuffle join — the range layout degrades to per-file
+        # row-group skipping, which is the honest trade at 10^10+ convs
+        n_convs = getattr(doc_map, "_joie_total", None)
+        dm = F.broadcast(doc_map) if n_convs is not None and n_convs < 50_000_000 else doc_map
         turns = (
-            src.repartition(par, "conv_id")
-            .join(doc_map, "conv_id")
+            src.repartitionByRange(par, F.col("conv_id"), F.col("turn_idx"))
+            .join(dm, "conv_id")
             .withColumn("tok", tokenize_udf(F.col("text")))
             .select(
                 "doc_id",
@@ -254,36 +280,10 @@ def build_index(
                 F.col("tok.grouped").alias("grouped"),
                 F.col("tok.dl").alias("dl"),
             )
+            .sortWithinPartitions("doc_id", "turn_idx")
         )
-        # Two-pass materialization: repartitionByRange SAMPLES its child,
-        # which would re-run the tokenizer UDF, and caching the tokenized
-        # rows GC-thrashes (measured: 40% of stage task time in GC).  So
-        # pass A writes the tokenized rows as-is; pass B re-reads the
-        # parquet (cheap, columnar) and produces the doc-range-sorted
-        # layout.  Same shape a cluster job would use (temp table).
-        tmp_path = turns_path + ".tmp"
-        turns.write.mode("overwrite").parquet(tmp_path)
+        fmt.write(turns, index_dir, "turns")
         release_dense_ids(doc_map)
-        # codec invariant: packed id = doc_id << TURN_BITS | turn_idx needs
-        # 0 <= turn_idx < 2^TURN_BITS or the blocks table silently corrupts
-        # (functions/codec.py:21); validate once on the cheap columnar pass
-        rng = spark.read.parquet(tmp_path).agg(
-            F.min("turn_idx").alias("lo"), F.max("turn_idx").alias("hi")
-        ).collect()[0]
-        if rng["lo"] is not None and (rng["lo"] < 0 or rng["hi"] >= (1 << TURN_BITS)):
-            _rmtree(tmp_path)
-            raise ValueError(
-                f"turn_idx out of packable range [0, {1 << TURN_BITS}): "
-                f"min={rng['lo']} max={rng['hi']}"
-            )
-        fmt.write(
-            spark.read.parquet(tmp_path)
-            .repartitionByRange(F.col("doc_id"))
-            .sortWithinPartitions("doc_id", "turn_idx"),
-            index_dir,
-            "turns",
-        )
-        _rmtree(tmp_path)
         dt = time.time() - t0
         n = fmt.read(spark, index_dir, "turns").count() if collect_metrics else -1
         man.commit(

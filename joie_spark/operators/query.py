@@ -352,7 +352,22 @@ def search(
     last_ts, roles) — the analogue of joie's DocumentFilter
     (engine/src/query/filter.rs:7-34).  Both are ordinary `.where()`s so
     Catalyst pushes them into the scans."""
-    expr = parse_query(query)
+    return search_expr(
+        ix, parse_query(query), k=k, where=where, where_doc=where_doc,
+        optimize=optimize,
+    )
+
+
+def search_expr(
+    ix: Index,
+    expr: Expr,
+    k: int = 10,
+    where: str | None = None,
+    where_doc: str | None = None,
+    optimize: bool = True,
+) -> DataFrame:
+    """search() over a pre-built AST — the programmatic QueryBuilder's
+    evaluation path (plans/builder.py), shared with the string parser."""
     words = sorted({t for lit_ in _literal_texts(expr) for t in tokenize_terms(lit_)})
     lut = ix.lookup_terms(words)
     term_of = {w: lut[w][0] for w in lut}
@@ -372,63 +387,59 @@ def search(
     return score_matches(ix, match, qids, k, dfs=dfs)
 
 
-def _batch_pred(node: PNode, posmap: Column) -> Column:
-    """Boolean match predicate for one query, evaluated over a turn's
-    term_id → positions map — the expression form of eval_match (same
-    semantics per node type), so a whole batch shares ONE candidate scan.
-    Missing keys are handled with map_contains_key / try_element_at (ANSI
-    mode throws on plain element_at misses)."""
+def match_set_expr(ix: Index, expr: Expr, optimize: bool = True) -> DataFrame:
+    words = sorted({t for lit_ in _literal_texts(expr) for t in tokenize_terms(lit_)})
+    lut = ix.lookup_terms(words)
+    node = lower(expr, {w: lut[w][0] for w in lut}, optimize)
+    return eval_match(ix, node).orderBy(*MATCH_COLS)
 
-    def key(tid: int) -> Column:
-        return F.lit(int(tid)).cast("long")
 
-    def present_all(ids: set[int]) -> Column:
-        return reduce(
-            lambda a, b: a & b,
-            [F.map_contains_key(posmap, key(t)) for t in sorted(ids)],
+def _batch_pred_sql(node: PNode) -> str:
+    """Boolean match predicate for one query as a SQL expression string
+    over a turn's `posmap` (term_id → positions) — the expression form of
+    eval_match (same semantics per node type), so a whole batch shares ONE
+    candidate scan.  Generated as TEXT, not Column objects: a 40-query
+    batch plan builds in one F.expr call instead of thousands of py4j
+    round trips (measured ~3 s of driver time).  Missing keys use
+    map_contains_key / try_element_at (ANSI mode throws on plain
+    element_at misses)."""
+
+    def present_all(ids: set[int]) -> str:
+        return " AND ".join(
+            f"map_contains_key(posmap, {t}L)" for t in sorted(ids)
         )
 
-    def adjacency(ids: tuple[int, ...]) -> Column:
-        def chain(p: Column) -> Column:
-            conds = [
-                F.array_contains(F.try_element_at(posmap, key(tid)), p + j)
-                for j, tid in enumerate(ids[1:], start=1)
-            ]
-            return reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
-
-        return F.exists(F.try_element_at(posmap, key(ids[0])), chain)
+    def adjacency(ids: tuple[int, ...]) -> str:
+        conds = " AND ".join(
+            f"array_contains(try_element_at(posmap, {tid}L), p + {j})"
+            for j, tid in enumerate(ids[1:], start=1)
+        )
+        return f"exists(try_element_at(posmap, {ids[0]}L), p -> {conds})"
 
     if isinstance(node, PKeywords):
         ids = {t for t in node.ids if t > 0}
         if not ids:
-            return F.lit(False)
-        return reduce(
-            lambda a, b: a | b,
-            [F.map_contains_key(posmap, key(t)) for t in sorted(ids)],
+            return "false"
+        return " OR ".join(
+            f"map_contains_key(posmap, {t}L)" for t in sorted(ids)
         )
     if isinstance(node, PPhrase):
         if not node.ids or 0 in node.ids:
-            return F.lit(False)
+            return "false"
         pred = present_all(set(node.ids))
         if len(node.ids) > 1:
-            pred = pred & adjacency(node.ids)
+            pred = f"({pred}) AND {adjacency(node.ids)}"
         return pred
     if isinstance(node, PPhraseAnd):
         if any((not p or 0 in p) for p in node.phrases):
-            return F.lit(False)
-        pred = present_all({t for p in node.phrases for t in p})
-        for p in node.phrases:
-            if len(p) > 1:
-                pred = pred & adjacency(p)
-        return pred
+            return "false"
+        parts = [present_all({t for p in node.phrases for t in p})]
+        parts += [adjacency(p) for p in node.phrases if len(p) > 1]
+        return " AND ".join(f"({x})" for x in parts)
     if isinstance(node, PAnd):
-        return reduce(
-            lambda a, b: a & b, [_batch_pred(c, posmap) for c in node.children]
-        )
+        return " AND ".join(f"({_batch_pred_sql(c)})" for c in node.children)
     if isinstance(node, POr):
-        return reduce(
-            lambda a, b: a | b, [_batch_pred(c, posmap) for c in node.children]
-        )
+        return " OR ".join(f"({_batch_pred_sql(c)})" for c in node.children)
     raise TypeError(type(node))
 
 
@@ -457,18 +468,19 @@ def search_many(
       2. one groupBy(doc, turn) → posmap: term_id → positions (tf is
          size(positions); dl rides along) — the batch analogue of
          _phrase_candidates;
-      3. every query's boolean predicate (_batch_pred == eval_match
-         semantics) AND its BM25 score are expressions over that posmap —
-         no per-query subtree, no union, no second postings join.  The
-         score folds over the query's term ids ascending exactly like
-         score_matches' sort_array(struct(term_id, tf)) fold, so floats
-         are bit-identical to the single-query path;
-      4. explode the per-row array of matched (query_id, score) structs;
-      5. per-query top-k = window rank partitioned by query_id (the one
-         extra shuffle, bounded by Σ_q |match_q|).
+      3. every query's boolean predicate (_batch_pred_sql == eval_match
+         semantics) is an expression over that posmap — no per-query
+         subtree, no union, no second postings join.  The matched
+         query_ids explode FIRST and only then is that one query's BM25
+         score computed (fold over its term ids ascending, exactly
+         score_matches' sort_array(struct(term_id, tf)) order — floats
+         bit-identical to the single-query path);
+      4. per-query top-k is a TWO-PHASE aggregation — partial top-k per
+         (query_id, input partition), then merge — never a window rank:
+         a hot query (a stopword at 10^12 turns) would put its whole
+         candidate set into one window task, a skew the two-phase shape
+         removes by construction.
     """
-    from pyspark.sql.window import Window
-
     exprs = [parse_query(q) for q in queries]
     words = sorted(
         {
@@ -515,65 +527,84 @@ def search_many(
     avgdl = ix.stats["avgdl"]
     dfs = {tid: df for tid, df in lut.values()}
     idf = {t: bm25_idf(n_docs, dfs.get(t, 0)) for t in all_ids}
-    posmap = F.col("posmap")
-    dl = F.col("dl").cast("double")
-    # per-turn bm25 denominator is shared by every term and query
-    denom_tail = F.lit(K1) * (F.lit(1.0 - B) + (F.lit(B) * dl) / F.lit(avgdl))
 
-    def q_score(qids: list[int]) -> Column:
-        # fold in ascending term_id order over the PRESENT terms — the same
-        # fold as score_matches' sorted contribs (missing terms contribute
-        # nothing rather than +0.0, keeping the float sequence identical)
-        present = F.filter(
-            F.array([F.lit(int(t)).cast("long") for t in qids]),
-            lambda t: F.map_contains_key(posmap, t),
-        )
-        idf_map = F.map_from_arrays(
-            F.array([F.lit(int(t)).cast("long") for t in qids]),
-            F.array([F.lit(idf[t]) for t in qids]),
-        )
-        return F.aggregate(
-            present,
-            F.lit(0.0),
-            lambda acc, t: acc
-            + (
-                F.element_at(idf_map, t)
-                * (F.size(F.try_element_at(posmap, t)).cast("double") * F.lit(K1 + 1.0))
-            )
-            / (
-                F.size(F.try_element_at(posmap, t)).cast("double") + denom_tail
-            ),
-        )
+    # ---- all expressions below are generated as ONE SQL text ----
+    def longs(vals) -> str:
+        return ", ".join(f"{int(v)}L" for v in vals)
 
-    entries = F.array(
-        [
-            F.struct(
-                F.lit(qi).alias("query_id"),
-                F.coalesce(_batch_pred(node, posmap), F.lit(False)).alias("m"),
-                q_score(per_q_ids[qi]).alias("score"),
-            )
+    matched_sql = "filter(array({}), x -> x.m)".format(
+        ", ".join(
+            f"named_struct('query_id', {qi}, 'm', ({_batch_pred_sql(node)}))"
             for qi, node in enumerate(nodes)
             if per_q_ids[qi]
-        ]
+        )
     )
-    exploded = cand.select(
-        "doc_id",
-        "turn_idx",
-        F.explode(F.filter(entries, lambda x: x["m"])).alias("e"),
-    ).select(
-        F.col("e.query_id").alias("query_id"),
-        "doc_id",
-        "turn_idx",
-        F.col("e.score").alias("score"),
+    # query_id → its scoring-term ids (ascending), term_id → idf literals
+    qterms_sql = "map({})".format(
+        ", ".join(
+            f"{qi}, array({longs(qids)})"
+            for qi, qids in enumerate(per_q_ids)
+            if qids
+        )
+    )
+    idf_sql = "map({})".format(
+        ", ".join(f"{t}L, CAST({idf[t]!r} AS DOUBLE)" for t in all_ids)
+    )
+    # per-turn BM25 denominator tail, shared by every term of every query;
+    # fold over the PRESENT terms ascending — the same float sequence as
+    # score_matches' sorted-contribs fold (missing terms contribute
+    # nothing rather than +0.0)
+    tfs = "CAST(size(try_element_at(posmap, t)) AS DOUBLE)"
+    score_sql = f"""aggregate(
+        filter(element_at({qterms_sql}, query_id),
+               t -> map_contains_key(posmap, t)),
+        CAST(0.0 AS DOUBLE),
+        (acc, t) -> acc + (element_at({idf_sql}, t) * ({tfs} * CAST({K1 + 1.0!r} AS DOUBLE)))
+            / ({tfs} + CAST({K1!r} AS DOUBLE) * (CAST({1.0 - B!r} AS DOUBLE)
+               + (CAST({B!r} AS DOUBLE) * CAST(dl AS DOUBLE)) / CAST({avgdl!r} AS DOUBLE)))
+    )"""
+
+    exploded = (
+        cand.select(
+            "doc_id",
+            "turn_idx",
+            "posmap",
+            "dl",
+            F.explode(F.expr(matched_sql)).alias("e"),
+        )
+        .select(
+            F.col("e.query_id").alias("query_id"),
+            "doc_id",
+            "turn_idx",
+            F.expr(score_sql).alias("score"),
+        )
     )
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("doc_id"), F.asc("turn_idx")
+    # two-phase per-query top-k (scores > 0, so negation is an exact
+    # order-flip); sort key (-score, doc_id, turn_idx) ascending
+    item = (
+        "named_struct('ns', -score, 'doc_id', doc_id,"
+        " 'turn_idx', turn_idx, 'score', score)"
+    )
+    partial = exploded.select(
+        "query_id", F.spark_partition_id().alias("pid"), F.expr(item).alias("it")
+    ).groupBy("query_id", "pid").agg(
+        F.expr(f"slice(array_sort(collect_list(it)), 1, {int(k)})").alias("top")
     )
     return (
-        exploded.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .drop("rn")
+        partial.groupBy("query_id")
+        .agg(
+            F.expr(
+                f"slice(array_sort(flatten(collect_list(top))), 1, {int(k)})"
+            ).alias("top")
+        )
+        .select("query_id", F.explode("top").alias("e"))
+        .select(
+            "query_id",
+            F.col("e.doc_id").alias("doc_id"),
+            F.col("e.turn_idx").alias("turn_idx"),
+            F.col("e.score").alias("score"),
+        )
         .orderBy("query_id", F.desc("score"), F.asc("doc_id"), F.asc("turn_idx"))
     )
 

@@ -246,6 +246,54 @@ def simhash_neardup_pairs(
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id),
+    cluster_id = min doc_id of the component (the canonical keeper).
+
+    A dedup pipeline needs CLUSTERS, not pairs: keep cluster_id == doc_id,
+    drop the rest.  Algorithm: iterative min-label propagation (the
+    standard shuffle-based connected components, à la GraphFrames/Pregel) —
+    each round is one join + one groupBy-min, converging in O(component
+    diameter) rounds; near-dup components are shallow (diameter ≤ ~4), so
+    max_iter=10 is generous.  Lineage is cut per round (localCheckpoint)
+    so plans don't snowball; rounds stop early at fixpoint (the `changed`
+    count is a tiny 1-row-per-partition action)."""
+    edges = pairs.select("a", "b")
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).toDF("src", "dst")
+    labels = (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .distinct()
+        .withColumn("lbl", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym.src == labels.v).select(
+            F.col("dst").alias("v"), F.col("lbl").alias("lbl")
+        )
+        new = (
+            labels.select("v", "lbl")
+            .unionByName(msgs)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "old"), "v")
+            .where(F.col("lbl") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, threshold: float = 0.95, sample_mod: int = 10
 ) -> DataFrame:

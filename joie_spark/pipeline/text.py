@@ -94,6 +94,25 @@ def lang_id_heuristic(docs: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-flavoured pretokenizer shape: space-prefixed word runs, digit
+# runs, punctuation runs.  Kept backslash-free so the literal is
+# byte-identical in Spark SQL (Java regex) and DuckDB (RE2).
+BPE_PATTERN = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+def bpe_token_count(docs: DataFrame) -> DataFrame:
+    """Approximate LLM token counting with a BPE-ish pretokenizer regex —
+    the budget signal a training-data pipeline computes per document
+    (exact BPE merges need a vocab file; the pretokenizer split is the
+    portable, deterministic first stage)."""
+    toks = F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over the normalized token stream —
     canonicalization-stable content hash for dedup lineage."""

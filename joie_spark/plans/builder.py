@@ -1,0 +1,152 @@
+"""Programmatic chaining query builder — the analogue of the reference's
+``QueryBuilder::start(terms).filter_documents(df).phrases()/.keywords()``
+(engine/src/query/mod.rs:46-102) plus its union/intersection composition
+(intersect.rs:17-57 ``and``, union_query.rs:17-36 ``from_iter``), expressed
+over the same AST the string parser produces, so both frontends share one
+planner and are rank-identical by construction.
+
+    eng.builder().phrase("crystal kingdom").top_k(5)
+    eng.builder().keywords("roll", "dice").filter_documents("n_turns >= 10").top_k()
+    (eng.builder().phrase("roll for insight") | eng.builder().keywords("dice"))
+        .filter_turns("role = 'user'").matches()
+
+Composition: ``a & b`` / ``a.and_(b)`` intersect, ``a | b`` / ``a.or_(b)``
+union; calling ``.phrase()``/``.keywords()`` repeatedly on one builder ANDs
+the clauses (each call narrows the match set, like chained DataFrame
+``.where``s).  Filters apply to the WHOLE composed query, mirroring the
+fused DocumentFilter (filter fused at intersect.rs:74-80, phrase.rs:52-74,
+keywords.rs:73-79).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+from pyspark.sql import DataFrame
+
+from .parser import And, Expr, Literal, Or
+
+
+def _phrase_lit(text: str) -> Expr:
+    return Literal(text.replace('"', " "))
+
+
+def _keywords_expr(words: tuple[str, ...]) -> Expr:
+    lits = [Literal(w.replace('"', " ")) for w in words]
+    e: Expr = lits[0]
+    for l_ in lits[1:]:
+        e = Or(e, l_)
+    return e
+
+
+@dataclass(frozen=True)
+class QueryBuilder:
+    """Immutable: every method returns a new builder (safe to fork)."""
+
+    _engine: object
+    _expr: Expr | None = None
+    _where: str | None = None
+    _where_doc: str | None = None
+
+    # -- clause constructors (chaining = AND, reference phrases()/keywords())
+    def phrase(self, text: str) -> "QueryBuilder":
+        return self._add(_phrase_lit(text))
+
+    def keywords(self, *words: str) -> "QueryBuilder":
+        if not words:
+            raise ValueError("keywords() needs at least one word")
+        return self._add(_keywords_expr(words))
+
+    def _add(self, e: Expr) -> "QueryBuilder":
+        merged = e if self._expr is None else And(self._expr, e)
+        return replace(self, _expr=merged)
+
+    # -- composition (IntersectingQuery / UnionQuery)
+    def and_(self, other: "QueryBuilder") -> "QueryBuilder":
+        return self._combine(other, And)
+
+    def or_(self, other: "QueryBuilder") -> "QueryBuilder":
+        return self._combine(other, Or)
+
+    __and__ = and_
+    __or__ = or_
+
+    def _combine(self, other: "QueryBuilder", op) -> "QueryBuilder":
+        if self._expr is None or other._expr is None:
+            raise ValueError("combine needs a clause on both sides")
+        return replace(
+            self,
+            _expr=op(self._expr, other._expr),
+            _where=self._where or other._where,
+            _where_doc=self._where_doc or other._where_doc,
+        )
+
+    # -- filters (DocumentFilter / SentenceFilter analogues)
+    def filter_documents(self, sql_predicate: str) -> "QueryBuilder":
+        """SQL predicate over doc_meta columns (conv_id, n_turns, total_dl,
+        first_ts, last_ts, roles) — QueryBuilder::filter_documents."""
+        return replace(self, _where_doc=sql_predicate)
+
+    def filter_turns(self, sql_predicate: str) -> "QueryBuilder":
+        """SQL predicate over turn columns (role, tool, ts, conv_id,
+        turn_idx)."""
+        return replace(self, _where=sql_predicate)
+
+    # -- terminals
+    def _require_expr(self) -> Expr:
+        if self._expr is None:
+            raise ValueError("empty query: add phrase()/keywords() first")
+        return self._expr
+
+    def top_k(self, k: int = 10, optimize: bool = True) -> DataFrame:
+        """BM25 top-k (doc_id, turn_idx, score)."""
+        from ..operators import query as Q
+
+        return Q.search_expr(
+            self._engine.index,
+            self._require_expr(),
+            k=k,
+            where=self._where,
+            where_doc=self._where_doc,
+            optimize=optimize,
+        )
+
+    def matches(self, optimize: bool = True) -> DataFrame:
+        """Unranked match set in (doc_id, turn_idx) order (the reference's
+        native output, searcher.rs:37-52), with filters applied."""
+        from ..operators import query as Q
+        from ..operators.query import MATCH_COLS
+        from pyspark.sql import functions as F  # noqa: F401
+
+        ix = self._engine.index
+        m = Q.match_set_expr(ix, self._require_expr(), optimize)
+        if self._where:
+            m = m.join(
+                ix.turns.where(self._where).select(*MATCH_COLS),
+                MATCH_COLS,
+                "left_semi",
+            )
+        if self._where_doc:
+            m = m.join(
+                ix.doc_meta.where(self._where_doc).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+        return m.orderBy(*MATCH_COLS)
+
+    def highlighted(self, k: int = 10) -> DataFrame:
+        """top-k + snippet parts (joie always snippets, README.md:5)."""
+        from ..operators.highlight import add_highlights
+        from ..tokenizer import tokenize_terms
+
+        res = self.top_k(k)
+        phrases = [
+            tokenize_terms(t) for t in _literal_texts(self._require_expr())
+        ]
+        return add_highlights(res, self._engine.index.turns, phrases, [])
+
+
+def _literal_texts(expr: Expr) -> list[str]:
+    if isinstance(expr, Literal):
+        return [expr.text]
+    return _literal_texts(expr.lhs) + _literal_texts(expr.rhs)

@@ -180,6 +180,34 @@ def test_signatures_at_high_dim_no_blowup(spark):
     assert time.time() - t0 < 60
 
 
+def test_duplicate_clusters_match_union_find(spark):
+    """duplicate_clusters == python union-find on the same pairs (min-id
+    canonical labels), including a chain (transitive closure) component."""
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (4, 5)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    assert got == want
+    assert got[5] == 1  # chain 1-2-3-4-5 collapses to min id
+
+
 def test_multiprobe_recall_not_worse(spark):
     import random
 

@@ -1,0 +1,71 @@
+"""Property tests (SURVEY §5: hypothesis random queries): WAND must equal
+the exhaustive scorer for ANY keyword set, and the batch path must equal
+single-query search for ANY batch drawn from corpus + OOV vocabulary."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from joie_spark.corpus import HOT_TERMS
+
+VOCAB = [t for t in HOT_TERMS if t.upper() not in ("AND", "OR")] + [
+    "kingdom",
+    "crystal",
+    "insight",
+    "venimus",
+    "zzznope",  # OOV
+]
+
+words_strategy = st.lists(
+    st.sampled_from(VOCAB), min_size=1, max_size=4, unique=True
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(words=words_strategy)
+def test_wand_equals_exhaustive_random_keywords(words, t1_engine):
+    from joie_spark.operators import wand
+
+    got = [
+        (r["doc_id"], r["turn_idx"], round(r["score"], 9))
+        for r in wand.wand_topk(t1_engine.index, words, k=5).collect()
+    ]
+    want = [
+        (r["doc_id"], r["turn_idx"], round(r["score"], 9))
+        for r in t1_engine.search(
+            " OR ".join(words), k=5, mode="exhaustive"
+        ).collect()
+    ]
+    assert got == want
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    batch=st.lists(
+        st.lists(
+            st.sampled_from(VOCAB), min_size=1, max_size=3, unique=True
+        ).map(" OR ".join),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_batch_equals_single_random(batch, t1_engine):
+    rows = t1_engine.search_many(batch, k=5).collect()
+    by_q: dict[int, list] = {i: [] for i in range(len(batch))}
+    for r in rows:
+        by_q[r["query_id"]].append((r["doc_id"], r["turn_idx"], r["score"]))
+    for i, q in enumerate(batch):
+        want = [
+            (r["doc_id"], r["turn_idx"], r["score"])
+            for r in t1_engine.search(q, k=5, mode="exhaustive").collect()
+        ]
+        assert by_q[i] == want, q
