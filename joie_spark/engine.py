@@ -139,6 +139,13 @@ class Engine:
 
         return QueryBuilder(self)
 
+    def tokenize_phrase(self, text: str) -> list[int]:
+        """Query-side tokenization to term ids, 0 = OOV
+        (Database::tokenize_phrase, engine/src/lib.rs:69-73)."""
+        words = tokenize_terms(text)
+        lut = self.index.lookup_terms(words)
+        return [lut[w][0] if w in lut else 0 for w in words]
+
     def get_doc(self, doc_id: int) -> DataFrame:
         """All turns of a conversation (Database::get_doc, lib.rs:104-110)."""
         return self.index.turns.where(F.col("doc_id") == doc_id).orderBy("turn_idx")

@@ -121,6 +121,17 @@ def plan_term_ids(node: PNode) -> set[int]:
     return {t for c in node.children for t in plan_term_ids(c)}
 
 
+def _phrase_term_ids(node: PNode) -> set[int]:
+    """Terms needing POSITION arrays (multi-term phrase adjacency only)."""
+    if isinstance(node, PPhrase):
+        return set(node.ids) if len(node.ids) > 1 else set()
+    if isinstance(node, PPhraseAnd):
+        return {t for p in node.phrases if len(p) > 1 for t in p}
+    if isinstance(node, (PAnd, POr)):
+        return {t for c in node.children for t in _phrase_term_ids(c)}
+    return set()
+
+
 # ---------------------------------------------------------------------------
 # index handle
 
@@ -394,19 +405,51 @@ def match_set_expr(ix: Index, expr: Expr, optimize: bool = True) -> DataFrame:
     return eval_match(ix, node).orderBy(*MATCH_COLS)
 
 
-def _batch_pred_sql(node: PNode) -> str:
+def _mask_consts(ids: set[int], bitpos: dict[int, int], n_words: int) -> list[int]:
+    """Per-word bit constants for a term-id set under the batch's bit
+    layout (word w = bits [64w, 64w+64))."""
+    words = [0] * n_words
+    for t in ids:
+        p = bitpos[t]
+        words[p // 64] |= 1 << (p % 64)
+    # emit as SIGNED 64-bit (bit 63 → negative literal) to match the JVM
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def _batch_pred_sql(
+    node: PNode, bitpos: dict[int, int], n_words: int
+) -> str:
     """Boolean match predicate for one query as a SQL expression string
-    over a turn's `posmap` (term_id → positions) — the expression form of
-    eval_match (same semantics per node type), so a whole batch shares ONE
-    candidate scan.  Generated as TEXT, not Column objects: a 40-query
-    batch plan builds in one F.expr call instead of thousands of py4j
-    round trips (measured ~3 s of driver time).  Missing keys use
-    map_contains_key / try_element_at (ANSI mode throws on plain
-    element_at misses)."""
+    over a turn's presence BITMASK columns m0..m{W-1} (bit i of the batch
+    layout set ⇔ term all_ids[i] occurs in the turn) and `posmap`
+    (term_id → positions, PHRASE terms only; adjacency checks) — the
+    expression form of eval_match (same semantics per node type), so a
+    whole batch shares ONE candidate scan.  Generated as TEXT, not Column
+    objects: a large batch plan builds in one F.expr call instead of
+    thousands of py4j round trips (measured ~3 s of driver time).
+
+    Why bitmasks: Spark map lookups scan ArrayBasedMapData linearly; a
+    ~100-term batch evaluating ~90 predicates per candidate row via map
+    probes saturates DRAM bandwidth at high core counts (measured:
+    identical batch cost ~70 CPU-s at local[2] vs 260+ at local[8]).
+    With masks every presence test is an O(1) register AND — the pred
+    pass stays cache-resident and scales with cores.  tf values for
+    scoring come from the compact int tfmap, positions for the (few)
+    phrase terms from posmap via try_element_at (ANSI mode throws on
+    plain element_at misses)."""
 
     def present_all(ids: set[int]) -> str:
         return " AND ".join(
-            f"map_contains_key(posmap, {t}L)" for t in sorted(ids)
+            f"(m{w} & {c}L) = {c}L"
+            for w, c in enumerate(_mask_consts(ids, bitpos, n_words))
+            if c
+        )
+
+    def present_any(ids: set[int]) -> str:
+        return " OR ".join(
+            f"(m{w} & {c}L) != 0L"
+            for w, c in enumerate(_mask_consts(ids, bitpos, n_words))
+            if c
         )
 
     def adjacency(ids: tuple[int, ...]) -> str:
@@ -420,9 +463,7 @@ def _batch_pred_sql(node: PNode) -> str:
         ids = {t for t in node.ids if t > 0}
         if not ids:
             return "false"
-        return " OR ".join(
-            f"map_contains_key(posmap, {t}L)" for t in sorted(ids)
-        )
+        return present_any(ids)
     if isinstance(node, PPhrase):
         if not node.ids or 0 in node.ids:
             return "false"
@@ -437,9 +478,13 @@ def _batch_pred_sql(node: PNode) -> str:
         parts += [adjacency(p) for p in node.phrases if len(p) > 1]
         return " AND ".join(f"({x})" for x in parts)
     if isinstance(node, PAnd):
-        return " AND ".join(f"({_batch_pred_sql(c)})" for c in node.children)
+        return " AND ".join(
+            f"({_batch_pred_sql(c, bitpos, n_words)})" for c in node.children
+        )
     if isinstance(node, POr):
-        return " OR ".join(f"({_batch_pred_sql(c)})" for c in node.children)
+        return " OR ".join(
+            f"({_batch_pred_sql(c, bitpos, n_words)})" for c in node.children
+        )
     raise TypeError(type(node))
 
 
@@ -497,6 +542,7 @@ def search_many(
         sorted({t for t in plan_term_ids(n) if t > 0}) for n in nodes
     ]
     all_ids = sorted({t for qids in per_q_ids for t in qids})
+    phrase_ids = sorted({t for n in nodes for t in _phrase_term_ids(n)})
 
     out_schema = T.StructType(
         [T.StructField("query_id", T.IntegerType()), *RESULT_SCHEMA.fields]
@@ -504,14 +550,55 @@ def search_many(
     if not all_ids:
         return ix.spark.createDataFrame([], out_schema)
 
+    # Presence bit layout: bit i ⇔ term all_ids[i]; W little 64-bit words.
+    # Each posting row computes its bit position ONCE at the scan (CASE
+    # chain over the batch vocabulary), the groupBy ORs them into W mask
+    # words, and every predicate becomes O(W) register tests — the pred
+    # pass stays cache-resident (see _batch_pred_sql).  posmap carries the
+    # fat position arrays ONLY for terms of multi-term phrases (masked to
+    # NULL at the scan so the shuffle never moves unused arrays); tfmap
+    # keeps the int tf values for scoring.
+    bitpos = {t: i for i, t in enumerate(all_ids)}
+    n_words = (len(all_ids) + 63) // 64
+    if phrase_ids:
+        pos_mask = "CASE WHEN term_id IN ({}) THEN positions END".format(
+            ", ".join(f"{int(t)}L" for t in phrase_ids)
+        )
+    else:
+        pos_mask = "CAST(NULL AS ARRAY<INT>)"
+    pos_case = (
+        "CASE WHEN positions IS NOT NULL THEN struct(term_id, positions) END"
+    )
+    bp_case = "CASE term_id {} END".format(
+        " ".join(f"WHEN {int(t)}L THEN {i}" for t, i in bitpos.items())
+    )
+    mask_words = [
+        F.expr(
+            f"aggregate(collect_list(CASE WHEN (bp div 64) = {w} THEN bp % 64 END),"
+            f" 0L, (acc, b) -> acc | shiftleft(1L, b))"
+        ).alias(f"m{w}")
+        for w in range(n_words)
+    ]
     cand = (
         ix.postings_for(set(all_ids))
+        .select(
+            *MATCH_COLS,
+            "term_id",
+            "tf",
+            "dl",
+            F.expr(pos_mask).alias("positions"),
+            F.expr(bp_case).alias("bp"),
+        )
         .groupBy(*MATCH_COLS)
         .agg(
             F.map_from_entries(
-                F.collect_list(F.struct("term_id", "positions"))
-            ).alias("posmap"),
+                F.collect_list(F.struct("term_id", "tf"))
+            ).alias("tfmap"),
+            F.expr(f"map_from_entries(collect_list({pos_case}))").alias(
+                "posmap"
+            ),
             F.first("dl").alias("dl"),
+            *mask_words,
         )
     )
     if where:
@@ -534,7 +621,8 @@ def search_many(
 
     matched_sql = "filter(array({}), x -> x.m)".format(
         ", ".join(
-            f"named_struct('query_id', {qi}, 'm', ({_batch_pred_sql(node)}))"
+            f"named_struct('query_id', {qi}, 'm',"
+            f" ({_batch_pred_sql(node, bitpos, n_words)}))"
             for qi, node in enumerate(nodes)
             if per_q_ids[qi]
         )
@@ -554,10 +642,10 @@ def search_many(
     # fold over the PRESENT terms ascending — the same float sequence as
     # score_matches' sorted-contribs fold (missing terms contribute
     # nothing rather than +0.0)
-    tfs = "CAST(size(try_element_at(posmap, t)) AS DOUBLE)"
+    tfs = "CAST(try_element_at(tfmap, t) AS DOUBLE)"
     score_sql = f"""aggregate(
         filter(element_at({qterms_sql}, query_id),
-               t -> map_contains_key(posmap, t)),
+               t -> map_contains_key(tfmap, t)),
         CAST(0.0 AS DOUBLE),
         (acc, t) -> acc + (element_at({idf_sql}, t) * ({tfs} * CAST({K1 + 1.0!r} AS DOUBLE)))
             / ({tfs} + CAST({K1!r} AS DOUBLE) * (CAST({1.0 - B!r} AS DOUBLE)
@@ -568,7 +656,7 @@ def search_many(
         cand.select(
             "doc_id",
             "turn_idx",
-            "posmap",
+            "tfmap",
             "dl",
             F.explode(F.expr(matched_sql)).alias("e"),
         )
