@@ -467,6 +467,15 @@ def build_from_turns(
         )
 
     # ---- stage 5: blocks (chunked → resumable mid-stage) ------------------
+    # Fresh build (no committed blocks units): drop any stale prior
+    # materialization first.  Subunit writes only replace the partitions
+    # their chunk touches, so a re-build with fewer chunks/buckets over a
+    # surviving table would leave stale slices queries would read
+    # (ADVICE r2).  A genuine resume (some units committed) never resets.
+    if not any(
+        e["stage"] == "blocks" and e["status"] == "done" for e in man.entries
+    ):
+        fmt.reset_table(spark, index_dir, "blocks")
     encode_udf = make_encode_udf(avgdl)
     postings = fmt.read(spark, index_dir, "postings")
     for chunk in range(block_chunks):

@@ -178,7 +178,13 @@ def add_signatures(
     """Attach hyperplane-LSH bucket signatures (scale path: write this
     column once and hive-partition / cluster the table by it)."""
     if dim is None:
-        dim = len(emb.select(col).first()[0])
+        first = emb.select(col).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                "cannot infer embedding dim from an empty DataFrame "
+                "(or a NULL first vector); pass dim= explicitly"
+            )
+        dim = len(first[0])
     H = hyperplane_components(emb.sparkSession, n_bits, dim)
     return emb.withColumn(out, make_signature_udf(H)(F.col(col)))
 

@@ -269,6 +269,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         .withColumn("lbl", F.col("v"))
         .localCheckpoint(eager=True)
     )
+    changed = 1
     for _ in range(max_iter):
         msgs = sym.join(labels, sym.src == labels.v).select(
             F.col("dst").alias("v"), F.col("lbl").alias("lbl")
@@ -289,6 +290,15 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # a component with diameter > max_iter would otherwise be SILENTLY
+        # split into several clusters (ADVICE r2) — that is a wrong answer,
+        # not a degraded one, so fail loudly and let the caller raise the
+        # budget (rounds are O(diameter); near-dup components are shallow).
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within max_iter={max_iter} "
+            "rounds; a component has larger diameter — raise max_iter"
+        )
     return labels.select(
         F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

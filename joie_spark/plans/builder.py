@@ -27,6 +27,16 @@ from pyspark.sql import DataFrame
 from .parser import And, Expr, Literal, Or
 
 
+def _merge_pred(a: str | None, b: str | None) -> str | None:
+    """Combining two builders that BOTH carry a filter ANDs the predicates
+    (filters are whole-query, mirroring the fused DocumentFilter — so the
+    only sound merge of two per-side filters is their conjunction; the old
+    `a or b` silently dropped the right side's predicate — ADVICE r2)."""
+    if a and b:
+        return a if a == b else f"({a}) AND ({b})"
+    return a or b
+
+
 def _phrase_lit(text: str) -> Expr:
     return Literal(text.replace('"', " "))
 
@@ -77,8 +87,8 @@ class QueryBuilder:
         return replace(
             self,
             _expr=op(self._expr, other._expr),
-            _where=self._where or other._where,
-            _where_doc=self._where_doc or other._where_doc,
+            _where=_merge_pred(self._where, other._where),
+            _where_doc=_merge_pred(self._where_doc, other._where_doc),
         )
 
     # -- filters (DocumentFilter / SentenceFilter analogues)

@@ -64,6 +64,16 @@ class TableFormat(abc.ABC):
     def read(self, spark: SparkSession, index_dir: str, table: str) -> DataFrame:
         ...
 
+    def reset_table(self, spark: SparkSession, index_dir: str, table: str) -> None:
+        """Drop any prior materialization of `table` before a FRESH build.
+
+        A fresh build into a location whose manifest is gone but whose
+        tables persist (crashed build, deleted manifest) must not inherit
+        stale slices: a smaller n_buckets/block_chunks re-build would
+        otherwise leave old partitions no new subunit touches, and queries
+        would read stale rows (ADVICE r2).  Resume (manifest present)
+        never calls this."""
+
 
 class ParquetManifestFormat(TableFormat):
     """Hive-partitioned parquet, one directory per table; dir overwrite is
@@ -83,6 +93,11 @@ class ParquetManifestFormat(TableFormat):
 
     def read(self, spark, index_dir, table):
         return spark.read.parquet(table_path(index_dir, table))
+
+    def reset_table(self, spark, index_dir, table):
+        import shutil
+
+        shutil.rmtree(table_path(index_dir, table), ignore_errors=True)
 
 
 class IcebergFormat(TableFormat):
@@ -126,21 +141,32 @@ class IcebergFormat(TableFormat):
     def read(self, spark, index_dir, table):
         return spark.table(self.ident(index_dir, table))
 
+    def reset_table(self, spark, index_dir, table):
+        spark.sql(f"DROP TABLE IF EXISTS {self.ident(index_dir, table)}")
 
-def iceberg_available(spark: SparkSession) -> bool:
-    """True when the Iceberg Spark runtime is on the JVM classpath."""
+
+def iceberg_available(spark: SparkSession, catalog: str = "local") -> bool:
+    """True when the Iceberg Spark runtime is on the JVM classpath AND the
+    target catalog is actually configured.  The classpath check alone is
+    not enough: IcebergFormat writes through `spark.sql.catalog.<catalog>`,
+    and a cluster that ships the jar by default but has no such catalog
+    would fail at the first write if auto-selected (ADVICE r2)."""
     try:
         spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
             "org.apache.iceberg.spark.SparkCatalog"
         )
-        return True
+    except Exception:
+        return False
+    try:
+        return spark.conf.get(f"spark.sql.catalog.{catalog}", None) is not None
     except Exception:
         return False
 
 
 def detect_format(spark: SparkSession) -> TableFormat:
     """Pick the table format: JOIE_TABLE_FORMAT env overrides; otherwise
-    Iceberg when its runtime is present, else parquet+manifest."""
+    Iceberg when its runtime + catalog are both present, else
+    parquet+manifest."""
     forced = os.environ.get("JOIE_TABLE_FORMAT")
     if forced == "iceberg":
         return IcebergFormat()

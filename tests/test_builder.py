@@ -84,6 +84,26 @@ def test_builder_errors(t1_engine):
         t1_engine.builder() & t1_engine.builder().keywords("roll")
 
 
+def test_builder_combine_ands_both_sides_filters(t1_engine, t1_oracle):
+    """Composing two builders that EACH carry a filter must AND the
+    predicates, not drop the right side's (ADVICE r2)."""
+    e = t1_engine
+    a = e.builder().keywords("roll").filter_documents("n_turns >= 10")
+    b = e.builder().keywords("dice").filter_documents("n_turns <= 14")
+    combined = a | b
+    assert combined._where_doc == "(n_turns >= 10) AND (n_turns <= 14)"
+    got = _rows(combined.top_k(10))
+    want = t1_oracle.search(
+        "roll OR dice", k=10, doc_filter=lambda m: 10 <= m["n_turns"] <= 14
+    )
+    assert got == want
+
+    # identical predicates dedupe instead of stacking
+    c = e.builder().keywords("roll").filter_turns("role = 'user'")
+    d = e.builder().keywords("dice").filter_turns("role = 'user'")
+    assert (c & d)._where == "role = 'user'"
+
+
 def test_builder_immutable_forking(t1_engine):
     base = t1_engine.builder().keywords("roll")
     a = base.filter_turns("role = 'user'")

@@ -208,6 +208,29 @@ def test_duplicate_clusters_match_union_find(spark):
     assert got[5] == 1  # chain 1-2-3-4-5 collapses to min id
 
 
+def test_duplicate_clusters_raises_when_not_converged(spark):
+    """A chain longer than max_iter rounds must FAIL, not silently split
+    the component into several clusters (ADVICE r2)."""
+    chain = [(i, i + 1) for i in range(1, 30)]  # diameter ≈ 29
+    df = spark.createDataFrame(chain, "a long, b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.duplicate_clusters(df, max_iter=2)
+    # generous budget converges and is correct
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(df, max_iter=30).collect()
+    }
+    assert set(got.values()) == {1}
+
+
+def test_add_signatures_empty_input_clear_error(spark):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="dim"):
+        ann.add_signatures(emb, n_bits=4)
+    # explicit dim on an empty frame is a clean no-op
+    assert ann.add_signatures(emb, n_bits=4, dim=8).collect() == []
+
+
 def test_multiprobe_recall_not_worse(spark):
     import random
 
