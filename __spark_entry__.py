@@ -37,12 +37,24 @@ INDEX_FORMAT_VERSION = 2
 BM25_TERMS = ("spark", "window", "query")
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """The sf≤0.1 test tables are single small parquet files → ONE input
+    partition, so every downstream tokenize/shingle/signature pass would
+    run on 1 of N cores.  Fan the scan out to the session parallelism
+    (cheap: the whole file is a few MB).  At production scale inputs
+    arrive in thousands of partitions and this repartition would be a
+    wasteful full shuffle — it is a small-file harness fix, not part of
+    the operators themselves (they stay partitioning-agnostic)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par) if df.rdd.getNumPartitions() < par else df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _fan_out(spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return _fan_out(spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")))
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

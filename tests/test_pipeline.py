@@ -125,6 +125,31 @@ def test_simhash_banded_pairs_full_recall_at_radius(docs):
     assert "CartesianProduct" not in plan
 
 
+def test_simhash_packed_equals_reference(docs):
+    """SWAR-packed simhash64 must equal the unpacked per-bit oracle
+    bit-for-bit (VERDICT r2 asked for byte-identical signatures)."""
+    fast = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    ref = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup._simhash64_reference(docs).collect()
+    }
+    assert fast == ref and fast
+
+
+def test_minhash_verified_single_shingle_pass(docs):
+    """The tokenize+shingle subtree must appear ONCE (persisted and shared
+    by signature + both verify sides), not three times (VERDICT r2)."""
+    out = dedup.minhash_lsh_verified(docs, threshold=0.7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every tokenize/shingle mention must sit inside a cached-relation
+    # printout (InMemoryTableScan repeats its defining subtree in
+    # toString); an unshared pass would show regexp nodes WITHOUT a
+    # matching cache scan
+    assert plan.count("InMemoryTableScan") >= 3, "shingles not persisted/shared"
+    assert plan.count("regexp_extract_all") == plan.count("InMemoryTableScan")
+    out._joie_persisted.unpersist()
+
+
 def test_minhash_lsh_verified_subset_of_exact(docs):
     """Verified LSH output must be exact-Jaccard-correct on every emitted
     pair (candidates ⊆ exact pairs after the verify join)."""
