@@ -69,16 +69,23 @@ class Engine:
         where: str | None = None,
         where_doc: str | None = None,
         optimize: bool = True,
+        mode: str = "auto",
+        probe_blocks: int = 8,
+        direct_threshold: int = 4096,
     ) -> DataFrame:
-        """Batch BM25 top-k: one dictionary lookup + one Spark job for the
+        """Batch BM25 top-k: one dictionary lookup + one job chain for the
         whole batch → (query_id, doc_id, turn_idx, score), top-k per
         query_id.  Per-query rows are bit-identical to `search(q)`; use
         this for throughput (amortizes per-job latency over the batch —
         the reference's per-query mmap latency is unreachable from a
-        shuffle engine, aggregate QPS is not)."""
+        shuffle engine, aggregate QPS is not).  mode='auto' runs
+        phrase-free queries on the compressed blocks table with per-query
+        block-max pruning (operators/batch.py); 'postings' forces the
+        exhaustive uncompressed scan."""
         return Q.search_many(
             self.index, queries, k=k, where=where, where_doc=where_doc,
-            optimize=optimize,
+            optimize=optimize, mode=mode, probe_blocks=probe_blocks,
+            direct_threshold=direct_threshold,
         )
 
     def search_highlighted(

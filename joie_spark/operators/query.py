@@ -495,205 +495,19 @@ def search_many(
     where: str | None = None,
     where_doc: str | None = None,
     optimize: bool = True,
+    mode: str = "auto",
+    probe_blocks: int = 8,
+    direct_threshold: int = 4096,
 ) -> DataFrame:
-    """Batch BM25 top-k: ONE dictionary lookup and ONE Spark job for the
-    whole query batch → (query_id, doc_id, turn_idx, score), top-k rows per
-    query_id in (query_id, score desc, doc_id, turn_idx) order.
+    """Batch BM25 top-k — see operators/batch.py (block-max pruned batch
+    path over the compressed blocks table + positional postings fallback
+    for phrase queries).  Kept here as the stable entry point."""
+    from .batch import search_many as _sm
 
-    Rationale (north rule / VERDICT r1): the reference answers a single
-    query in microseconds from mmap (engine/src/searcher.rs:33-52); a
-    shuffle engine pays ~seconds of job latency per query, so throughput
-    parity comes from amortizing that latency over a batch.
-
-    Physical shape — everything in ONE pass, all codegen, two shuffles:
-
-      1. one partition-pruned postings scan for the union of all queries'
-         terms (bucket ∈ ∪buckets pruned, term_id ∈ ∪ids pushed to
-         parquet row groups);
-      2. one groupBy(doc, turn) → posmap: term_id → positions (tf is
-         size(positions); dl rides along) — the batch analogue of
-         _phrase_candidates;
-      3. every query's boolean predicate (_batch_pred_sql == eval_match
-         semantics) is an expression over that posmap — no per-query
-         subtree, no union, no second postings join.  The matched
-         query_ids explode FIRST and only then is that one query's BM25
-         score computed (fold over its term ids ascending, exactly
-         score_matches' sort_array(struct(term_id, tf)) order — floats
-         bit-identical to the single-query path);
-      4. per-query top-k is a TWO-PHASE aggregation — partial top-k per
-         (query_id, input partition), then merge — never a window rank:
-         a hot query (a stopword at 10^12 turns) would put its whole
-         candidate set into one window task, a skew the two-phase shape
-         removes by construction.
-    """
-    exprs = [parse_query(q) for q in queries]
-    words = sorted(
-        {
-            t
-            for e in exprs
-            for lit_ in _literal_texts(e)
-            for t in tokenize_terms(lit_)
-        }
-    )
-    lut = ix.lookup_terms(words)
-    term_of = {w: lut[w][0] for w in lut}
-    nodes = [lower(e, term_of, optimize) for e in exprs]
-    per_q_ids = [
-        sorted({t for t in plan_term_ids(n) if t > 0}) for n in nodes
-    ]
-    all_ids = sorted({t for qids in per_q_ids for t in qids})
-    phrase_ids = sorted({t for n in nodes for t in _phrase_term_ids(n)})
-
-    out_schema = T.StructType(
-        [T.StructField("query_id", T.IntegerType()), *RESULT_SCHEMA.fields]
-    )
-    if not all_ids:
-        return ix.spark.createDataFrame([], out_schema)
-
-    # Presence bit layout: bit i ⇔ term all_ids[i]; W little 64-bit words.
-    # Each posting row computes its bit position ONCE at the scan (CASE
-    # chain over the batch vocabulary), the groupBy ORs them into W mask
-    # words, and every predicate becomes O(W) register tests — the pred
-    # pass stays cache-resident (see _batch_pred_sql).  posmap carries the
-    # fat position arrays ONLY for terms of multi-term phrases (masked to
-    # NULL at the scan so the shuffle never moves unused arrays); tfmap
-    # keeps the int tf values for scoring.
-    bitpos = {t: i for i, t in enumerate(all_ids)}
-    n_words = (len(all_ids) + 63) // 64
-    if phrase_ids:
-        pos_mask = "CASE WHEN term_id IN ({}) THEN positions END".format(
-            ", ".join(f"{int(t)}L" for t in phrase_ids)
-        )
-    else:
-        pos_mask = "CAST(NULL AS ARRAY<INT>)"
-    pos_case = (
-        "CASE WHEN positions IS NOT NULL THEN struct(term_id, positions) END"
-    )
-    bp_case = "CASE term_id {} END".format(
-        " ".join(f"WHEN {int(t)}L THEN {i}" for t, i in bitpos.items())
-    )
-    mask_words = [
-        F.expr(
-            f"aggregate(collect_list(CASE WHEN (bp div 64) = {w} THEN bp % 64 END),"
-            f" 0L, (acc, b) -> acc | shiftleft(1L, b))"
-        ).alias(f"m{w}")
-        for w in range(n_words)
-    ]
-    cand = (
-        ix.postings_for(set(all_ids))
-        .select(
-            *MATCH_COLS,
-            "term_id",
-            "tf",
-            "dl",
-            F.expr(pos_mask).alias("positions"),
-            F.expr(bp_case).alias("bp"),
-        )
-        .groupBy(*MATCH_COLS)
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("term_id", "tf"))
-            ).alias("tfmap"),
-            F.expr(f"map_from_entries(collect_list({pos_case}))").alias(
-                "posmap"
-            ),
-            F.first("dl").alias("dl"),
-            *mask_words,
-        )
-    )
-    if where:
-        cand = cand.join(
-            ix.turns.where(where).select(*MATCH_COLS), MATCH_COLS, "left_semi"
-        )
-    if where_doc:
-        cand = cand.join(
-            ix.doc_meta.where(where_doc).select("doc_id"), "doc_id", "left_semi"
-        )
-
-    n_docs = ix.stats["N"]
-    avgdl = ix.stats["avgdl"]
-    dfs = {tid: df for tid, df in lut.values()}
-    idf = {t: bm25_idf(n_docs, dfs.get(t, 0)) for t in all_ids}
-
-    # ---- all expressions below are generated as ONE SQL text ----
-    def longs(vals) -> str:
-        return ", ".join(f"{int(v)}L" for v in vals)
-
-    matched_sql = "filter(array({}), x -> x.m)".format(
-        ", ".join(
-            f"named_struct('query_id', {qi}, 'm',"
-            f" ({_batch_pred_sql(node, bitpos, n_words)}))"
-            for qi, node in enumerate(nodes)
-            if per_q_ids[qi]
-        )
-    )
-    # query_id → its scoring-term ids (ascending), term_id → idf literals
-    qterms_sql = "map({})".format(
-        ", ".join(
-            f"{qi}, array({longs(qids)})"
-            for qi, qids in enumerate(per_q_ids)
-            if qids
-        )
-    )
-    idf_sql = "map({})".format(
-        ", ".join(f"{t}L, CAST({idf[t]!r} AS DOUBLE)" for t in all_ids)
-    )
-    # per-turn BM25 denominator tail, shared by every term of every query;
-    # fold over the PRESENT terms ascending — the same float sequence as
-    # score_matches' sorted-contribs fold (missing terms contribute
-    # nothing rather than +0.0)
-    tfs = "CAST(try_element_at(tfmap, t) AS DOUBLE)"
-    score_sql = f"""aggregate(
-        filter(element_at({qterms_sql}, query_id),
-               t -> map_contains_key(tfmap, t)),
-        CAST(0.0 AS DOUBLE),
-        (acc, t) -> acc + (element_at({idf_sql}, t) * ({tfs} * CAST({K1 + 1.0!r} AS DOUBLE)))
-            / ({tfs} + CAST({K1!r} AS DOUBLE) * (CAST({1.0 - B!r} AS DOUBLE)
-               + (CAST({B!r} AS DOUBLE) * CAST(dl AS DOUBLE)) / CAST({avgdl!r} AS DOUBLE)))
-    )"""
-
-    exploded = (
-        cand.select(
-            "doc_id",
-            "turn_idx",
-            "tfmap",
-            "dl",
-            F.explode(F.expr(matched_sql)).alias("e"),
-        )
-        .select(
-            F.col("e.query_id").alias("query_id"),
-            "doc_id",
-            "turn_idx",
-            F.expr(score_sql).alias("score"),
-        )
-    )
-
-    # two-phase per-query top-k (scores > 0, so negation is an exact
-    # order-flip); sort key (-score, doc_id, turn_idx) ascending
-    item = (
-        "named_struct('ns', -score, 'doc_id', doc_id,"
-        " 'turn_idx', turn_idx, 'score', score)"
-    )
-    partial = exploded.select(
-        "query_id", F.spark_partition_id().alias("pid"), F.expr(item).alias("it")
-    ).groupBy("query_id", "pid").agg(
-        F.expr(f"slice(array_sort(collect_list(it)), 1, {int(k)})").alias("top")
-    )
-    return (
-        partial.groupBy("query_id")
-        .agg(
-            F.expr(
-                f"slice(array_sort(flatten(collect_list(top))), 1, {int(k)})"
-            ).alias("top")
-        )
-        .select("query_id", F.explode("top").alias("e"))
-        .select(
-            "query_id",
-            F.col("e.doc_id").alias("doc_id"),
-            F.col("e.turn_idx").alias("turn_idx"),
-            F.col("e.score").alias("score"),
-        )
-        .orderBy("query_id", F.desc("score"), F.asc("doc_id"), F.asc("turn_idx"))
+    return _sm(
+        ix, queries, k=k, where=where, where_doc=where_doc,
+        optimize=optimize, mode=mode, probe_blocks=probe_blocks,
+        direct_threshold=direct_threshold,
     )
 
 

@@ -30,10 +30,31 @@ def _batched(engine, queries, k=10, **kw):
     return out
 
 
-def test_search_many_matches_single(t1_engine):
-    got = _batched(t1_engine, BATCH)
+@pytest.mark.parametrize("mode", ["auto", "postings"])
+def test_search_many_matches_single(t1_engine, mode):
+    got = _batched(t1_engine, BATCH, mode=mode)
     for i, q in enumerate(BATCH):
-        assert got[i] == _single(t1_engine, q), q
+        assert got[i] == _single(t1_engine, q), (mode, q)
+
+
+def test_search_many_blocks_path_pruned_still_exact(t1_engine):
+    """Force the θ-pruning machinery to engage (probe smaller than the
+    candidate-block count, small k) — results must stay bit-identical to
+    the exhaustive single-query path."""
+    queries = ["the", "roll OR dice", "roll AND dice", "you OR the OR so"]
+    for k in (1, 3):
+        # direct_threshold=0 disables the small-index decode-all shortcut
+        # so the probe/θ/survivor phases actually run
+        got = _batched(t1_engine, queries, k=k, probe_blocks=1, direct_threshold=0)
+        for i, q in enumerate(queries):
+            assert got[i] == _single(t1_engine, q, k=k), (k, q)
+        got_direct = _batched(t1_engine, queries, k=k)  # decode-all shortcut
+        assert got_direct == got
+
+
+def test_search_many_blocks_mode_rejects_phrases(t1_engine):
+    with pytest.raises(ValueError, match="phrase"):
+        t1_engine.search_many(['"crystal kingdom"'], mode="blocks").collect()
 
 
 def test_search_many_ordering(t1_engine):
