@@ -32,7 +32,7 @@ TOK_DD = "regexp_extract_all(lower(text), '[a-z0-9]+')"  # duckdb
 
 # bump when the on-disk index layout / tokenizer changes — invalidates the
 # entry() smoke-check cache
-INDEX_FORMAT_VERSION = 2
+INDEX_FORMAT_VERSION = 3  # 3: gen-partitioned tables (incremental append)
 
 BM25_TERMS = ("spark", "window", "query")
 

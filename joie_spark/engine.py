@@ -26,6 +26,28 @@ class Engine:
         build_index(spark, source, index_dir, **kw)
         return cls(spark, index_dir)
 
+    def append(self, new_source: DataFrame | str, **kw) -> "Engine":
+        """Incrementally ingest NEW conversations (disjoint conv_ids) as a
+        delta generation — no retokenization or rewrite of existing data;
+        scores afterwards equal a full rebuild over the union (only doc_id
+        assignment differs — see operators/append.py).  Resumable like the
+        build; run compact() periodically to re-tighten block-max bounds
+        and merge generations."""
+        from .operators.append import append_index
+
+        append_index(self.spark, new_source, self.index.index_dir, **kw)
+        self.index = Q.Index(self.spark, self.index.index_dir)
+        return self
+
+    def compact(self) -> "Engine":
+        """Rewrite postings+blocks into one generation (drops superseded
+        slices, re-encodes block-max metadata with the live avgdl)."""
+        from .operators.append import compact_index
+
+        compact_index(self.spark, self.index.index_dir)
+        self.index = Q.Index(self.spark, self.index.index_dir)
+        return self
+
     # -- queries ----------------------------------------------------------
     def search(
         self,
@@ -104,6 +126,28 @@ class Engine:
         # keywords fast path; phrase spans of length 1 are identical, so
         # phrase spans subsume them.
         return add_highlights(res, self.index.turns, phrases, [])
+
+    def search_many_highlighted(
+        self,
+        queries: list[str],
+        k: int = 10,
+        where: str | None = None,
+        where_doc: str | None = None,
+    ) -> DataFrame:
+        """Batch top-k + snippet parts: the whole batch pays ONE turns
+        join and ONE highlight pass (per-query `search_highlighted` in a
+        loop would pay job latency per query).  Row-per-(query_id, hit),
+        same order contract as search_many."""
+        from .operators.highlight import add_highlights_batch
+
+        res = self.search_many(queries, k=k, where=where, where_doc=where_doc)
+        phrases_by_qid = {
+            i: [tokenize_terms(t) for t in _lits(parse_query(q))]
+            for i, q in enumerate(queries)
+        }
+        return add_highlights_batch(
+            res, self.index.turns, phrases_by_qid
+        ).orderBy("query_id", F.desc("score"), F.asc("doc_id"), F.asc("turn_idx"))
 
     def match_set(self, query: str) -> DataFrame:
         """Unranked matches in (doc_id, turn_idx) order — the reference's

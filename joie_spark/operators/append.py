@@ -1,0 +1,372 @@
+"""Incremental index append + compaction (VERDICT r2 item 3).
+
+The reference is write-once (engine/src/builder.rs:98-143); a production
+ingest wants daily deltas without retokenizing or rewriting the corpus.
+Every index table is partitioned by a `gen` (generation) column — gen=0
+is the initial build; `append_index` adds gen=1.. slices:
+
+  turns / doc_meta   append-only: the delta rows land in a new gen
+                     partition, old generations are untouched (disjoint
+                     conv_ids are enforced).
+  term_dict          each gen is a COMPLETE dictionary snapshot: existing
+                     terms keep their term_id (postings reference them),
+                     df/cf absorb the delta counts, new terms extend the
+                     id space (dense rank from n_terms+1).  stats.dict_gen
+                     points at the live snapshot; readers partition-prune
+                     to it.
+  postings           delta postings only (explode of the delta turns ×
+                     the updated dictionary), new gen partition under the
+                     same bucket scheme — bucket pruning spans gens.
+  blocks             delta blocks from the delta postings.  Two
+                     avgdl-drift consequences, both handled: scores stay
+                     EXACT because dl is stored per posting and scoring
+                     always uses the live stats avgdl; block-max upper
+                     bounds stay SOUND because each block records the
+                     avgdl it was encoded with (enc_avgdl) and query-time
+                     ubs scale by max(1, avgdl_now/enc_avgdl)
+                     (operators/wand.py _avgdl_drift).
+
+A doc straddling nothing: delta doc_ids continue after the current max,
+so delta block_ids can share at most the boundary block with gen0 —
+duplicate (term, block_id) rows across gens are handled everywhere (ub
+sums both bounds → still an upper bound; the decode concatenates rows).
+
+Query-result equivalence: after append, tf/dl/df/N/avgdl all equal the
+values a full rebuild over the union would produce, so BM25 scores are
+identical; only doc_id ASSIGNMENT differs (append order vs global
+conv_id rank), which is why the equality test compares on conv_id
+(tests/test_append.py).
+
+`compact_index` rewrites postings+blocks into one fresh generation
+(re-encoded with the live avgdl → tight ubs again, boundary blocks
+merged) and drops the old generation partitions + stale dictionary
+snapshots.  Everything is manifest-logged and resumable mid-append:
+every write overwrites exactly its own gen slice (a hive subdir for
+parquet, overwritePartitions for Iceberg), so a re-run replaces exactly
+what a crashed attempt half-wrote.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import (
+    Manifest,
+    format_by_name,
+    read_stats,
+    table_path,
+    write_stats,
+)
+from .build import (
+    assign_dense_ids,
+    blocks_of,
+    doc_meta_of,
+    postings_of,
+    release_dense_ids,
+    term_stats_of,
+    tokenized_turns,
+    validate_turn_idx,
+)
+
+
+def _live_dict(spark, fmt, index_dir: str, dict_gen: int) -> DataFrame:
+    return fmt.read(spark, index_dir, "term_dict").where(
+        F.col("gen") == int(dict_gen)
+    )
+
+
+def append_index(
+    spark: SparkSession,
+    new_source: DataFrame | str,
+    index_dir: str,
+    collect_metrics: bool = False,
+) -> Manifest:
+    """Append new conversations to a COMPLETE index at index_dir.
+
+    Stages (each manifest-committed; a crashed append resumes at the
+    failed stage — all writes are idempotent per-gen partition
+    overwrites): begin → turns → doc_meta → term_dict → postings →
+    blocks → stats."""
+    man = Manifest.load(index_dir)
+    if not (man.is_done("build") or any(
+        e["stage"] == "append" and e["status"] == "done" for e in man.entries
+    )):
+        raise ValueError("append_index requires a completed build at index_dir")
+    stats = read_stats(index_dir)
+    fmt = format_by_name(stats.get("table_format", "parquet"))
+    n_buckets = stats["n_buckets"]
+    docs_per_block = stats["docs_per_block"]
+
+    src = (
+        spark.read.parquet(new_source) if isinstance(new_source, str) else new_source
+    )
+    src = src.withColumn("turn_idx", F.col("turn_idx").cast("int"))
+
+    # generation assignment: resume an unfinished append's gen if one is
+    # pending (begin committed, append not), else next after the max
+    begun = [e for e in man.entries if e["stage"] == "append_begin"]
+    done = {e["unit"] for e in man.entries if e["stage"] == "append"}
+    pending = [e for e in begun if e["unit"] not in done]
+    if pending:
+        gen = int(pending[-1]["unit"].removeprefix("gen="))
+        fp = _input_fingerprint(src)
+        if fp != pending[-1].get("input_fp"):
+            raise ValueError(
+                "resuming append gen=%d with a DIFFERENT input (fingerprint "
+                "%s != %s); finish or reset the pending append first"
+                % (gen, fp, pending[-1].get("input_fp"))
+            )
+    else:
+        gen = 1 + max(
+            [int(e["unit"].removeprefix("gen=")) for e in begun],
+            default=max(stats.get("gens", [0])),
+        )
+        validate_turn_idx(src)
+        # disjointness contract (same as the shard merge): appended
+        # conv_ids must be new
+        clash = (
+            src.select("conv_id")
+            .distinct()
+            .join(
+                fmt.read(spark, index_dir, "doc_meta").select("conv_id"),
+                "conv_id",
+                "left_semi",
+            )
+            .count()
+        )
+        if clash:
+            raise ValueError(
+                f"append input shares {clash} conv_id(s) with the index; "
+                "appends must be disjoint (use tombstoning/rebuild for updates)"
+            )
+        man.commit("append_begin", f"gen={gen}", input_fp=_input_fingerprint(src))
+
+    unit = f"gen={gen}"
+
+    # ---- delta turns -----------------------------------------------------
+    if not man.is_done("append_turns", unit):
+        t0 = time.time()
+        base_doc = (
+            fmt.read(spark, index_dir, "doc_meta")
+            .agg(F.max("doc_id"))
+            .collect()[0][0]
+        )
+        doc_map = assign_dense_ids(src, "conv_id", "doc_id", start=int(base_doc) + 1)
+        turns = tokenized_turns(spark, src, doc_map).withColumn(
+            "gen", F.lit(gen)
+        ).sortWithinPartitions("doc_id", "turn_idx")
+        fmt.write(turns, index_dir, "turns", partition_by=["gen"], subunit=unit)
+        release_dense_ids(doc_map)
+        man.commit("append_turns", unit, seconds=round(time.time() - t0, 3))
+
+    delta_turns = fmt.read(spark, index_dir, "turns").where(F.col("gen") == gen)
+
+    # ---- delta doc_meta ----------------------------------------------------
+    if not man.is_done("append_doc_meta", unit):
+        t0 = time.time()
+        fmt.write(
+            doc_meta_of(delta_turns).withColumn("gen", F.lit(gen))
+            .repartitionByRange(F.col("doc_id"))
+            .sortWithinPartitions("doc_id"),
+            index_dir,
+            "doc_meta",
+            partition_by=["gen"],
+            subunit=unit,
+        )
+        man.commit("append_doc_meta", unit, seconds=round(time.time() - t0, 3))
+
+    # ---- updated dictionary snapshot ---------------------------------------
+    if not man.is_done("append_term_dict", unit):
+        t0 = time.time()
+        old = _live_dict(spark, fmt, index_dir, stats["dict_gen"]).select(
+            "term", "term_id", "df", "cf"
+        )
+        delta = term_stats_of(delta_turns).withColumnRenamed(
+            "df", "d_df"
+        ).withColumnRenamed("cf", "d_cf")
+        joined = old.join(delta, "term", "full_outer")
+        existing = joined.where(F.col("term_id").isNotNull()).select(
+            "term",
+            "term_id",
+            (F.col("df") + F.coalesce("d_df", F.lit(0))).alias("df"),
+            (F.col("cf") + F.coalesce("d_cf", F.lit(0))).alias("cf"),
+        )
+        new_terms = joined.where(F.col("term_id").isNull()).select(
+            "term", F.col("d_df").alias("df"), F.col("d_cf").alias("cf")
+        )
+        ids = assign_dense_ids(
+            new_terms, "term", "term_id", start=int(stats["n_terms"]) + 1
+        )
+        fresh = new_terms.join(ids, "term").select("term", "term_id", "df", "cf")
+        fmt.write(
+            existing.unionByName(fresh)
+            .select("term", "term_id", "df", "cf", F.lit(gen).alias("gen"))
+            .repartitionByRange(F.col("term_id"))
+            .sortWithinPartitions("term_id"),
+            index_dir,
+            "term_dict",
+            partition_by=["gen"],
+            subunit=unit,
+        )
+        release_dense_ids(ids)
+        man.commit("append_term_dict", unit, seconds=round(time.time() - t0, 3))
+
+    new_dict = _live_dict(spark, fmt, index_dir, gen)
+
+    # ---- delta postings ------------------------------------------------------
+    if not man.is_done("append_postings", unit):
+        t0 = time.time()
+        postings = postings_of(delta_turns, new_dict, n_buckets)
+        fmt.write(
+            postings.withColumn("gen", F.lit(gen))
+            .repartition(F.col("bucket"))
+            .sortWithinPartitions("bucket", "term_id", "doc_id", "turn_idx"),
+            index_dir,
+            "postings",
+            partition_by=["gen", "bucket"],
+            subunit=unit,
+        )
+        man.commit("append_postings", unit, seconds=round(time.time() - t0, 3))
+
+    # ---- new global stats (needed for the delta blocks' enc_avgdl) -----------
+    d = delta_turns.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("dl")
+    ).collect()[0]
+    new_n = int(stats["N"]) + int(d["n"])
+    new_total_dl = int(stats["total_dl"]) + int(d["dl"])
+    new_avgdl = new_total_dl / new_n
+
+    # ---- delta blocks ---------------------------------------------------------
+    if not man.is_done("append_blocks", unit):
+        t0 = time.time()
+        delta_postings = fmt.read(spark, index_dir, "postings").where(
+            F.col("gen") == gen
+        )
+        grouped = blocks_of(delta_postings, new_avgdl, docs_per_block)
+        fmt.write(
+            grouped.withColumn("gen", F.lit(gen))
+            .withColumn("chunk", F.lit(0))
+            .repartition(F.col("bucket"))
+            .sortWithinPartitions("bucket", "term_id", "block_id"),
+            index_dir,
+            "blocks",
+            partition_by=["gen", "chunk", "bucket"],
+            subunit=f"{unit}/chunk=0",
+        )
+        man.commit("append_blocks", unit, seconds=round(time.time() - t0, 3))
+
+    # ---- stats + commit ---------------------------------------------------------
+    n_terms = new_dict.count()
+    stats.update(
+        {
+            "N": new_n,
+            "total_dl": new_total_dl,
+            "avgdl": new_avgdl,
+            "n_terms": n_terms,
+            "dict_gen": gen,
+            "gens": sorted(set(stats.get("gens", [0])) | {gen}),
+        }
+    )
+    write_stats(index_dir, stats)
+    rows = delta_turns.count() if collect_metrics else -1
+    man.commit("append", unit, rows=rows, N=new_n)
+    return man
+
+
+def _input_fingerprint(src: DataFrame) -> str:
+    """Cheap identity check so a RESUMED append can detect a different
+    input (full content hashing would scan the data twice)."""
+    agg = src.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("conv_id").alias("c"),
+        F.min("conv_id").alias("lo"),
+        F.max("conv_id").alias("hi"),
+    ).collect()[0]
+    return f"{agg['n']}:{agg['c']}:{agg['lo']}:{agg['hi']}"
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> Manifest:
+    """Rewrite postings + blocks into ONE fresh generation and drop the
+    old generation partitions + stale dictionary snapshots.
+
+    Re-encoding uses the LIVE avgdl, so the block-max upper bounds the
+    append left loose (enc_avgdl drift) become tight again, and boundary
+    blocks split across generations are merged.  turns/doc_meta keep
+    their per-gen partitions (they are append-only row stores; nothing is
+    stale in them).  Parquet-format only: Iceberg deployments use the
+    engine-side rewrite_data_files maintenance instead.
+
+    Crash safety: the new generation G is strictly larger than every
+    existing one, so the rewrite never reads what it writes; old dirs are
+    removed only after both tables are fully written, and a re-run after
+    any crash point compacts whatever generations remain."""
+    man = Manifest.load(index_dir)
+    stats = read_stats(index_dir)
+    fmt = format_by_name(stats.get("table_format", "parquet"))
+    if fmt.name != "parquet":
+        raise NotImplementedError(
+            "compact_index supports the parquet format; Iceberg tables "
+            "compact via Iceberg's own rewrite_data_files maintenance"
+        )
+    t0 = time.time()
+    post_root = table_path(index_dir, "postings")
+    block_root = table_path(index_dir, "blocks")
+    old_post = sorted(
+        d for d in os.listdir(post_root) if d.startswith("gen=")
+    )
+    gen = 1 + max(int(d.removeprefix("gen=")) for d in old_post)
+    avgdl = float(stats["avgdl"])
+
+    postings = spark.read.option("basePath", post_root).parquet(
+        *[os.path.join(post_root, d) for d in old_post]
+    )
+    fmt.write(
+        postings.withColumn("gen", F.lit(gen))
+        .repartition(F.col("bucket"))
+        .sortWithinPartitions("bucket", "term_id", "doc_id", "turn_idx"),
+        index_dir,
+        "postings",
+        partition_by=["gen", "bucket"],
+        subunit=f"gen={gen}",
+    )
+    compacted = spark.read.parquet(os.path.join(post_root, f"gen={gen}"))
+    grouped = blocks_of(
+        compacted.withColumn("bucket", F.col("bucket").cast("int")),
+        avgdl,
+        stats["docs_per_block"],
+    )
+    fmt.write(
+        grouped.withColumn("gen", F.lit(gen))
+        .withColumn("chunk", F.lit(0))
+        .repartition(F.col("bucket"))
+        .sortWithinPartitions("bucket", "term_id", "block_id"),
+        index_dir,
+        "blocks",
+        partition_by=["gen", "chunk", "bucket"],
+        subunit=f"gen={gen}/chunk=0",
+    )
+    # drop superseded generations (postings/blocks) and stale dict snapshots
+    for d in old_post:
+        shutil.rmtree(os.path.join(post_root, d), ignore_errors=True)
+    for d in list(os.listdir(block_root)):
+        if d.startswith("gen=") and int(d.removeprefix("gen=")) != gen:
+            shutil.rmtree(os.path.join(block_root, d), ignore_errors=True)
+    dict_root = table_path(index_dir, "term_dict")
+    for d in list(os.listdir(dict_root)):
+        if d.startswith("gen=") and int(d.removeprefix("gen=")) != int(
+            stats["dict_gen"]
+        ):
+            shutil.rmtree(os.path.join(dict_root, d), ignore_errors=True)
+
+    stats["gens"] = sorted(
+        {int(x.removeprefix("gen=")) for x in os.listdir(table_path(index_dir, "turns")) if x.startswith("gen=")}
+    )
+    stats["compacted_gen"] = gen
+    write_stats(index_dir, stats)
+    man.commit("compact", f"gen={gen}", seconds=round(time.time() - t0, 3))
+    return man

@@ -340,11 +340,13 @@ def _blocks_meta_for(ix: Index, term_ids: list[int]) -> DataFrame:
     )
 
 
-def _ub_per_query(blocks_meta: DataFrame, items, idf) -> DataFrame:
+def _ub_per_query(blocks_meta: DataFrame, items, idf, avgdl: float) -> DataFrame:
     """(query_id, block_id, ub) — ub_q(b) = Σ_{t ∈ q present in b}
-    idf_t · max_part(t, b).  Terms of q absent from b contribute 0, so ub
-    is an upper bound of any turn's q-score in b regardless of which of
-    q's terms the block holds."""
+    idf_t · max_part(t, b) · max(1, avgdl/enc_avgdl).  Terms of q absent
+    from b contribute 0, so ub is an upper bound of any turn's q-score in
+    b regardless of which of q's terms the block holds; the enc_avgdl
+    factor keeps blocks encoded before an append sound (wand._avgdl_drift
+    has the proof sketch)."""
     tq: dict[int, list[int]] = {}
     for qid, _n, qids in items:
         for t in qids:
@@ -357,11 +359,14 @@ def _ub_per_query(blocks_meta: DataFrame, items, idf) -> DataFrame:
     idf_sql = "map({})".format(
         ", ".join(f"{t}L, CAST({idf[t]!r} AS DOUBLE)" for t in sorted(tq))
     )
+    drift = F.greatest(F.lit(1.0), F.lit(float(avgdl)) / F.col("enc_avgdl"))
     return (
         blocks_meta.select(
             "block_id",
             F.explode(F.expr(f"element_at({tq_sql}, term_id)")).alias("query_id"),
-            (F.expr(f"element_at({idf_sql}, term_id)") * F.col("max_part")).alias("c"),
+            (
+                F.expr(f"element_at({idf_sql}, term_id)") * F.col("max_part") * drift
+            ).alias("c"),
         )
         .groupBy("query_id", "block_id")
         .agg(F.sum("c").alias("ub"))
@@ -429,7 +434,7 @@ def _blocks_path(
         )
         return _topk_from_cand(cand, items, idf, avgdl, bitpos, n_words, k)
 
-    ub = _ub_per_query(blocks_meta, items, idf)
+    ub = _ub_per_query(blocks_meta, items, idf, avgdl)
     top = _top_blocks_per_query(ub, probe_blocks)
 
     probe_ids = sorted({b for bs, _n in top.values() for b in bs})

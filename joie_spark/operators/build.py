@@ -204,6 +204,156 @@ def make_encode_udf(avgdl: float):
     return encode_udf
 
 
+ALL_TABLES = ("turns", "doc_meta", "term_dict", "postings", "blocks")
+
+
+# ---------------------------------------------------------------------------
+# stage transforms (shared by build, merge and incremental append)
+
+
+def validate_turn_idx(src: DataFrame) -> None:
+    """codec invariant: packed id = doc_id << TURN_BITS | turn_idx needs
+    0 <= turn_idx < 2^TURN_BITS or the blocks table silently corrupts
+    (functions/codec.py:21); validated on the RAW input (fail fast,
+    column-pruned scan, no tokenized table left behind)."""
+    rng = src.agg(
+        F.min("turn_idx").alias("lo"), F.max("turn_idx").alias("hi")
+    ).collect()[0]
+    if rng["lo"] is not None and (rng["lo"] < 0 or rng["hi"] >= (1 << TURN_BITS)):
+        raise ValueError(
+            f"turn_idx out of packable range [0, {1 << TURN_BITS}): "
+            f"min={rng['lo']} max={rng['hi']}"
+        )
+
+
+def tokenized_turns(spark: SparkSession, src: DataFrame, doc_map: DataFrame) -> DataFrame:
+    """Raw transcripts + dense-id map → tokenized turn rows.
+
+    Single-pass layout trick: doc_id is the dense RANK of conv_id, so
+    range-partitioning the RAW input by conv_id (cheap sampling — no UDF
+    upstream) yields exactly the doc_id range layout; the dense ids then
+    arrive via a broadcast join that preserves partitioning and the
+    tokenizer UDF runs ONCE inside the write pass.  The broadcast applies
+    while the id map fits comfortably in executor memory (each entry
+    ~50 B → 50M convs ≈ 2.5 GB); beyond that it falls back to a shuffle
+    join — the range layout degrades to per-file row-group skipping,
+    which is the honest trade at 10^10+ convs."""
+    par = spark.sparkContext.defaultParallelism
+    n_convs = getattr(doc_map, "_joie_total", None)
+    dm = (
+        F.broadcast(doc_map)
+        if n_convs is not None and n_convs < 50_000_000
+        else doc_map
+    )
+    return (
+        src.repartitionByRange(par, F.col("conv_id"), F.col("turn_idx"))
+        .join(dm, "conv_id")
+        .withColumn("tok", tokenize_udf(F.col("text")))
+        .select(
+            "doc_id",
+            "turn_idx",
+            "conv_id",
+            "role",
+            "tool",
+            "ts",
+            "text",
+            F.col("tok.starts").alias("starts"),
+            F.col("tok.ends").alias("ends"),
+            F.col("tok.grouped").alias("grouped"),
+            F.col("tok.dl").alias("dl"),
+        )
+    )
+
+
+def doc_meta_of(turns: DataFrame) -> DataFrame:
+    """Per-document metadata store (the analogue of the reference's
+    SimpleStorage metadata array, storage/src/store.rs:46-100)."""
+    return turns.groupBy("doc_id").agg(
+        F.first("conv_id").alias("conv_id"),
+        F.count("*").cast("int").alias("n_turns"),
+        F.sum("dl").alias("total_dl"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.array_sort(F.collect_set("role")).alias("roles"),
+    )
+
+
+def term_stats_of(turns: DataFrame) -> DataFrame:
+    """(term, df, cf) aggregates over the pre-tokenized turns."""
+    per_turn = turns.select(F.explode("grouped").alias("g")).select(
+        F.col("g.term").alias("term"), F.col("g.tf").alias("tf")
+    )
+    return per_turn.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"), F.sum("tf").alias("cf")
+    )
+
+
+def postings_of(turns: DataFrame, term_dict: DataFrame, n_buckets: int) -> DataFrame:
+    """Postings rows: pure explode + dictionary join — the per-turn
+    (term, tf, positions) index was precomputed inside the tokenizer pass,
+    so no (term, doc, turn) groupBy shuffle happens here."""
+    exploded = turns.select(
+        "doc_id", "turn_idx", "dl", F.explode("grouped").alias("g")
+    ).select(
+        "doc_id",
+        "turn_idx",
+        "dl",
+        F.col("g.term").alias("term"),
+        F.col("g.tf").alias("tf"),
+        F.col("g.positions").alias("positions"),
+    )
+    return (
+        exploded.join(term_dict.select("term", "term_id"), "term")
+        .withColumn("bucket", F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int"))
+        .select("term_id", "doc_id", "turn_idx", "tf", "positions", "dl", "bucket")
+    )
+
+
+def blocks_of(postings: DataFrame, avgdl: float, docs_per_block: int) -> DataFrame:
+    """Delta+varint compressed posting blocks with block-max metadata.
+
+    `enc_avgdl` records the avgdl the block-max `max_part` was computed
+    with: incremental appends shift the corpus avgdl, and the WAND upper
+    bound stays sound by scaling stored bounds with
+    max(1, avgdl_now / enc_avgdl) at query time (see operators/wand.py) —
+    compaction re-encodes with the current avgdl and tightens them again."""
+    encode_udf = make_encode_udf(avgdl)
+    return (
+        postings.withColumn(
+            "block_id", (F.col("doc_id") / F.lit(docs_per_block)).cast("long")
+        )
+        .withColumn(
+            "packed",
+            F.shiftleft(F.col("doc_id"), TURN_BITS).cast("long")
+            + F.col("turn_idx").cast("long"),
+        )
+        .groupBy("bucket", "term_id", "block_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("packed", "tf", "dl"))).alias("plist")
+        )
+        .select(
+            "bucket",
+            "term_id",
+            "block_id",
+            F.expr("transform(plist, x -> x.packed)").alias("pk"),
+            F.expr("transform(plist, x -> x.tf)").alias("tfl"),
+            F.expr("transform(plist, x -> x.dl)").alias("dll"),
+        )
+        .withColumn("enc", encode_udf("pk", "tfl", "dll"))
+        .select(
+            "bucket",
+            "term_id",
+            "block_id",
+            F.col("enc.docids").alias("docids"),
+            F.col("enc.tfs").alias("tfs"),
+            F.col("enc.dls").alias("dls"),
+            F.col("enc.n").alias("n"),
+            F.col("enc.max_part").alias("max_part"),
+            F.lit(float(avgdl)).alias("enc_avgdl"),
+        )
+    )
+
+
 def build_index(
     spark: SparkSession,
     source: DataFrame | str,
@@ -214,7 +364,12 @@ def build_index(
     fail_after_block_chunk: int | None = None,  # test hook for kill/resume
     collect_metrics: bool = True,  # False skips per-stage count() jobs
 ) -> Manifest:
-    """Build (or resume building) an index at index_dir."""
+    """Build (or resume building) an index at index_dir.
+
+    Every table is partitioned by a `gen` (generation) column — gen=0 for
+    the initial build; operators/append.py adds gen=1.. delta slices for
+    incremental ingest and compaction rewrites them.  Dynamic partition
+    overwrite makes every stage re-runnable (idempotent resume)."""
     man = Manifest.load(index_dir)
     # format pinned by the first committed stage; fresh builds auto-detect
     # (Iceberg when its runtime is on the classpath — sources/tables.py)
@@ -222,6 +377,12 @@ def build_index(
     fmt: TableFormat = (
         format_by_name(committed_fmt) if committed_fmt else detect_format(spark)
     )
+    if not man.entries:
+        # completely fresh build: drop any stale prior materialization so
+        # surviving generations/partitions from an older build at the same
+        # location can't leak into the new index (ADVICE r2, generalized)
+        for t in ALL_TABLES:
+            fmt.reset_table(spark, index_dir, t)
     src = spark.read.parquet(source) if isinstance(source, str) else source
     # normalize to the input_hint schema (turn_idx:int32) regardless of how
     # the caller materialized the DataFrame
@@ -235,54 +396,12 @@ def build_index(
     # ---- stage 1: turns ------------------------------------------------
     if not man.is_done("turns"):
         t0 = time.time()
-        # codec invariant: packed id = doc_id << TURN_BITS | turn_idx needs
-        # 0 <= turn_idx < 2^TURN_BITS or the blocks table silently corrupts
-        # (functions/codec.py:21); validate on the RAW input (fail fast,
-        # column-pruned scan, no tokenized table left behind)
-        rng = src.agg(
-            F.min("turn_idx").alias("lo"), F.max("turn_idx").alias("hi")
-        ).collect()[0]
-        if rng["lo"] is not None and (rng["lo"] < 0 or rng["hi"] >= (1 << TURN_BITS)):
-            raise ValueError(
-                f"turn_idx out of packable range [0, {1 << TURN_BITS}): "
-                f"min={rng['lo']} max={rng['hi']}"
-            )
+        validate_turn_idx(src)
         doc_map = assign_dense_ids(src, "conv_id", "doc_id")
-        # Single-pass layout trick: doc_id is the dense RANK of conv_id, so
-        # range-partitioning the RAW input by conv_id (cheap sampling — no
-        # UDF upstream) yields exactly the doc_id range layout; the dense
-        # ids then arrive via a broadcast join that preserves partitioning,
-        # the tokenizer UDF runs ONCE inside the write pass, and
-        # sortWithinPartitions gives the (doc_id, turn_idx) file order.
-        # This replaces the old two-pass tmp-parquet materialization
-        # (write + read + second shuffle + write of the full data).
-        par = spark.sparkContext.defaultParallelism
-        # broadcast the dense-id map when it fits comfortably in executor
-        # memory (each entry ~50 B → 50M convs ≈ 2.5 GB); beyond that fall
-        # back to a shuffle join — the range layout degrades to per-file
-        # row-group skipping, which is the honest trade at 10^10+ convs
-        n_convs = getattr(doc_map, "_joie_total", None)
-        dm = F.broadcast(doc_map) if n_convs is not None and n_convs < 50_000_000 else doc_map
-        turns = (
-            src.repartitionByRange(par, F.col("conv_id"), F.col("turn_idx"))
-            .join(dm, "conv_id")
-            .withColumn("tok", tokenize_udf(F.col("text")))
-            .select(
-                "doc_id",
-                "turn_idx",
-                "conv_id",
-                "role",
-                "tool",
-                "ts",
-                "text",
-                F.col("tok.starts").alias("starts"),
-                F.col("tok.ends").alias("ends"),
-                F.col("tok.grouped").alias("grouped"),
-                F.col("tok.dl").alias("dl"),
-            )
-            .sortWithinPartitions("doc_id", "turn_idx")
-        )
-        fmt.write(turns, index_dir, "turns")
+        turns = tokenized_turns(spark, src, doc_map).withColumn(
+            "gen", F.lit(0)
+        ).sortWithinPartitions("doc_id", "turn_idx")
+        fmt.write(turns, index_dir, "turns", partition_by=["gen"], subunit="gen=0")
         release_dense_ids(doc_map)
         dt = time.time() - t0
         n = fmt.read(spark, index_dir, "turns").count() if collect_metrics else -1
@@ -350,19 +469,13 @@ def build_from_turns(
     if not man.is_done("doc_meta"):
         t0 = time.time()
         fmt.write(
-            turns.groupBy("doc_id")
-            .agg(
-                F.first("conv_id").alias("conv_id"),
-                F.count("*").cast("int").alias("n_turns"),
-                F.sum("dl").alias("total_dl"),
-                F.min("ts").alias("first_ts"),
-                F.max("ts").alias("last_ts"),
-                F.array_sort(F.collect_set("role")).alias("roles"),
-            )
+            doc_meta_of(turns).withColumn("gen", F.lit(0))
             .repartitionByRange(F.col("doc_id"))
             .sortWithinPartitions("doc_id"),
             index_dir,
             "doc_meta",
+            partition_by=["gen"],
+            subunit="gen=0",
         )
         man.commit(
             "doc_meta", seconds=round(time.time() - t0, 3),
@@ -373,20 +486,17 @@ def build_from_turns(
     # ---- stage 2: term_dict --------------------------------------------
     if not man.is_done("term_dict"):
         t0 = time.time()
-        per_turn = turns.select(F.explode("grouped").alias("g")).select(
-            F.col("g.term").alias("term"), F.col("g.tf").alias("tf")
-        )
-        stats_per_term = per_turn.groupBy("term").agg(
-            F.count("*").cast("long").alias("df"), F.sum("tf").alias("cf")
-        )
+        stats_per_term = term_stats_of(turns)
         ids = assign_dense_ids(stats_per_term, "term", "term_id")
         fmt.write(
             stats_per_term.join(ids, "term")
-            .select("term", "term_id", "df", "cf")
+            .select("term", "term_id", "df", "cf", F.lit(0).alias("gen"))
             .repartitionByRange(F.col("term_id"))
             .sortWithinPartitions("term_id"),
             index_dir,
             "term_dict",
+            partition_by=["gen"],
+            subunit="gen=0",
         )
         release_dense_ids(ids)
         dt = time.time() - t0
@@ -416,6 +526,11 @@ def build_from_turns(
                 "block_chunks": block_chunks,
                 "turn_bits": TURN_BITS,
                 "table_format": fmt.name,
+                # generations: dict_gen = the LIVE full dictionary slice
+                # (each term_dict gen is a complete dictionary; older gens
+                # are kept as snapshots); gens = data generations present
+                "dict_gen": 0,
+                "gens": [0],
             },
         )
         man.commit("stats", N=agg["n"], seconds=round(time.time() - t0, 3))
@@ -427,35 +542,18 @@ def build_from_turns(
     if not man.is_done("postings"):
         t0 = time.time()
         term_dict = fmt.read(spark, index_dir, "term_dict")
-        # `grouped` already carries the per-turn positional index, so the
-        # postings table is a pure explode + dictionary join — the
-        # (term, doc, turn) aggregation the naive plan would shuffle was
-        # precomputed inside the tokenizer pass (no groupBy here at all)
-        exploded = turns.select(
-            "doc_id", "turn_idx", "dl", F.explode("grouped").alias("g")
-        ).select(
-            "doc_id",
-            "turn_idx",
-            "dl",
-            F.col("g.term").alias("term"),
-            F.col("g.tf").alias("tf"),
-            F.col("g.positions").alias("positions"),
-        )
-        postings = exploded.join(
-            term_dict.select("term", "term_id"), "term"
-        ).withColumn("bucket", F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int"))
+        postings = postings_of(turns, term_dict, n_buckets)
         fmt.write(
-            postings.select(
-                "term_id", "doc_id", "turn_idx", "tf", "positions", "dl", "bucket"
-            )
+            postings.withColumn("gen", F.lit(0))
             .repartition(F.col("bucket"))
-            # leading with the partition column lets FileFormatWriter keep
-            # this ordering (otherwise it re-sorts by bucket alone and the
-            # (term_id, doc, turn) file order is lost)
+            # leading with the (post-subunit) partition column lets
+            # FileFormatWriter keep this ordering (otherwise it re-sorts by
+            # bucket alone and the (term_id, doc, turn) file order is lost)
             .sortWithinPartitions("bucket", "term_id", "doc_id", "turn_idx"),
             index_dir,
             "postings",
-            partition_by=["bucket"],
+            partition_by=["gen", "bucket"],
+            subunit="gen=0",
         )
         dt = time.time() - t0
         n = fmt.read(spark, index_dir, "postings").count() if collect_metrics else -1
@@ -476,7 +574,6 @@ def build_from_turns(
         e["stage"] == "blocks" and e["status"] == "done" for e in man.entries
     ):
         fmt.reset_table(spark, index_dir, "blocks")
-    encode_udf = make_encode_udf(avgdl)
     postings = fmt.read(spark, index_dir, "postings")
     for chunk in range(block_chunks):
         unit = f"chunk={chunk}"
@@ -486,57 +583,20 @@ def build_from_turns(
             raise RuntimeError(f"injected failure before blocks {unit}")
         t0 = time.time()
         part = postings.where(F.pmod(F.col("bucket"), F.lit(block_chunks)) == chunk)
-        grouped = (
-            part.withColumn(
-                "block_id", (F.col("doc_id") / F.lit(docs_per_block)).cast("long")
-            )
-            .withColumn(
-                "packed",
-                F.shiftleft(F.col("doc_id"), TURN_BITS).cast("long")
-                + F.col("turn_idx").cast("long"),
-            )
-            .groupBy("bucket", "term_id", "block_id")
-            .agg(
-                F.sort_array(
-                    F.collect_list(F.struct("packed", "tf", "dl"))
-                ).alias("plist")
-            )
-            .select(
-                "bucket",
-                "term_id",
-                "block_id",
-                F.expr("transform(plist, x -> x.packed)").alias("pk"),
-                F.expr("transform(plist, x -> x.tf)").alias("tfl"),
-                F.expr("transform(plist, x -> x.dl)").alias("dll"),
-            )
-            .withColumn("enc", encode_udf("pk", "tfl", "dll"))
-            .select(
-                "bucket",
-                "term_id",
-                "block_id",
-                F.col("enc.docids").alias("docids"),
-                F.col("enc.tfs").alias("tfs"),
-                F.col("enc.dls").alias("dls"),
-                F.col("enc.n").alias("n"),
-                F.col("enc.max_part").alias("max_part"),
-            )
-        )
+        grouped = blocks_of(part, avgdl, docs_per_block)
         loc = fmt.write(
-            grouped.repartition(F.col("bucket"))
+            grouped.withColumn("gen", F.lit(0))
+            .withColumn("chunk", F.lit(chunk))
+            .repartition(F.col("bucket"))
             .sortWithinPartitions("bucket", "term_id", "block_id"),
             index_dir,
             "blocks",
-            partition_by=["bucket"],
-            subunit=f"chunk={chunk}",
+            partition_by=["gen", "chunk", "bucket"],
+            subunit=f"gen=0/chunk={chunk}",
         )
         dt = time.time() - t0
         if collect_metrics:
-            if fmt.name == "parquet":
-                bdf = spark.read.parquet(loc)
-            else:
-                bdf = fmt.read(spark, index_dir, "blocks").where(
-                    F.pmod(F.col("bucket"), F.lit(block_chunks)) == chunk
-                )
+            bdf = fmt.read(spark, index_dir, "blocks").where(F.col("chunk") == chunk)
             n_blocks = bdf.count()
             fan_in = bdf.agg(F.avg("n")).collect()[0][0]
         else:

@@ -66,9 +66,14 @@ def merge_indexes(
         else detect_format(spark)
     )
     if not man.is_done("turns"):
+        if not man.entries:
+            from .build import ALL_TABLES
+
+            for t in ALL_TABLES:
+                fmt.reset_table(spark, out_dir, t)
         t0 = time.time()
         shards = [
-            _shard_format(d).read(spark, d, "turns").drop("doc_id")
+            _shard_format(d).read(spark, d, "turns").drop("doc_id", "gen")
             for d in shard_dirs
         ]
         unioned = shards[0]
@@ -87,10 +92,13 @@ def merge_indexes(
             "text", "starts", "ends", "grouped", "dl",
         )
         fmt.write(
-            merged.repartitionByRange(F.col("doc_id"))
+            merged.withColumn("gen", F.lit(0))
+            .repartitionByRange(F.col("doc_id"))
             .sortWithinPartitions("doc_id", "turn_idx"),
             out_dir,
             "turns",
+            partition_by=["gen"],
+            subunit="gen=0",
         )
         release_dense_ids(doc_map)
         dt = time.time() - t0

@@ -149,7 +149,12 @@ class Index:
         self.fmt = format_by_name(self.stats.get("table_format", "parquet"))
         self.turns = self.fmt.read(spark, index_dir, "turns")
         self.postings = self.fmt.read(spark, index_dir, "postings")
-        self.term_dict = self.fmt.read(spark, index_dir, "term_dict")
+        # each term_dict generation is a COMPLETE dictionary snapshot;
+        # stats.dict_gen points at the live one (partition-pruned filter)
+        td = self.fmt.read(spark, index_dir, "term_dict")
+        if "gen" in td.columns:
+            td = td.where(F.col("gen") == int(self.stats.get("dict_gen", 0)))
+        self.term_dict = td
         self._blocks: DataFrame | None = None
         self._doc_meta: DataFrame | None = None
 
@@ -162,7 +167,12 @@ class Index:
     @property
     def blocks(self) -> DataFrame:
         if self._blocks is None:
-            self._blocks = self.fmt.read(self.spark, self.index_dir, "blocks")
+            b = self.fmt.read(self.spark, self.index_dir, "blocks")
+            if "enc_avgdl" not in b.columns:
+                # pre-append-format index: all blocks were encoded with the
+                # index's (only) avgdl — the WAND ub correction is then 1
+                b = b.withColumn("enc_avgdl", F.lit(float(self.stats["avgdl"])))
+            self._blocks = b
         return self._blocks
 
     def lookup_terms(self, words: list[str]) -> dict[str, tuple[int, int]]:

@@ -86,6 +86,21 @@ def _blocks_for(ix: Index, qids: list[int]) -> DataFrame:
     )
 
 
+def _avgdl_drift(ix: Index):
+    """Soundness correction for blocks encoded under an older avgdl.
+
+    A block's stored max_part was computed with enc_avgdl; after an
+    incremental append the live avgdl differs.  For any (tf, dl),
+    contribution(avgdl') ≤ contribution(avgdl) · max(1, avgdl'/avgdl)
+    (the denominator term K1·B·dl/avgdl shrinks by at most that factor),
+    so scaling stored bounds by max(1, avgdl_now/enc_avgdl) keeps the
+    WAND upper bound valid — exactly 1 for freshly built or compacted
+    indexes, slightly loose between append and compaction."""
+    return F.greatest(
+        F.lit(1.0), F.lit(float(ix.stats["avgdl"])) / F.col("enc_avgdl")
+    )
+
+
 def _score_blocks(
     ix: Index,
     blocks: DataFrame,
@@ -148,7 +163,11 @@ def wand_topk(
             F.array([F.lit(idf[t]) for t in qids]),
         )
         ub = blocks.groupBy("block_id").agg(
-            F.sum(F.element_at(idf_map, F.col("term_id")) * F.col("max_part")).alias("ub")
+            F.sum(
+                F.element_at(idf_map, F.col("term_id"))
+                * F.col("max_part")
+                * _avgdl_drift(ix)
+            ).alias("ub")
         )
 
         # phase 1: exact-score the highest-ub blocks → threshold θ
@@ -191,7 +210,11 @@ def pruning_stats(ix: Index, words: list[str], k: int = 10, probe_blocks: int = 
         F.array([F.lit(idf[t]) for t in qids]),
     )
     ub = blocks.groupBy("block_id").agg(
-        F.sum(F.element_at(idf_map, F.col("term_id")) * F.col("max_part")).alias("ub")
+        F.sum(
+            F.element_at(idf_map, F.col("term_id"))
+            * F.col("max_part")
+            * _avgdl_drift(ix)
+        ).alias("ub")
     )
     probe_ids = [
         r["block_id"]

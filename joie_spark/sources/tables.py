@@ -76,14 +76,32 @@ class TableFormat(abc.ABC):
 
 
 class ParquetManifestFormat(TableFormat):
-    """Hive-partitioned parquet, one directory per table; dir overwrite is
-    the atomic-enough commit (the manifest entry is the real checkpoint)."""
+    """Hive-partitioned parquet, one directory per table; partition
+    overwrite is the atomic-enough commit (the manifest entry is the real
+    checkpoint).
+
+    A `subunit` ("gen=1" or "gen=0/chunk=2") addresses a resumable slice
+    as a hive-style SUBDIRECTORY: the write overwrites exactly that
+    subtree (idempotent resume — the parquet analogue of Iceberg's
+    overwritePartitions), and reading the table root rediscovers the
+    subunit keys as partition columns.  The matching df columns (and
+    their entries in partition_by) are dropped before writing — the
+    directory name IS the value; keeping them in the files would clash
+    with partition discovery.  Writing under a path (rather than via
+    constant partition COLUMNS) also keeps FileFormatWriter's required
+    ordering equal to the caller's sortWithinPartitions, so the
+    (term_id, doc, turn) file order that min/max skipping depends on is
+    never re-sorted away (a constant-folded gen sort key would fail the
+    writer's ordering check and trigger a destructive re-sort)."""
 
     name = "parquet"
 
     def write(self, df, index_dir, table, partition_by=(), subunit=None):
         path = table_path(index_dir, table)
         if subunit:
+            keys = [p.split("=", 1)[0] for p in subunit.split("/")]
+            df = df.drop(*keys)
+            partition_by = [c for c in partition_by if c not in keys]
             path = os.path.join(path, subunit)
         w = df.write.mode("overwrite")
         if partition_by:

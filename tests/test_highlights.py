@@ -54,6 +54,32 @@ def test_highlight_parity(query, t1_engine, t1_oracle):
         assert any(kind == "highlight" for kind, _ in parts)
 
 
+def test_batch_highlights_match_per_query(t1_engine):
+    """search_many_highlighted == per-query search_highlighted rows
+    (same hits, same parts, keyed by query_id) in one pass."""
+    queries = ['"crystal kingdom"', "roll AND dice", "roll OR dice"]
+    got = {}
+    for r in t1_engine.search_many_highlighted(queries, k=5).collect():
+        got[(r["query_id"], r["doc_id"], r["turn_idx"])] = (
+            r["score"],
+            [(p["kind"], p["text"]) for p in r["parts"]],
+        )
+    want = {}
+    for qid, q in enumerate(queries):
+        for r in t1_engine.search_highlighted(q, k=5).collect():
+            want[(qid, r["doc_id"], r["turn_idx"])] = (
+                r["score"],
+                [(p["kind"], p["text"]) for p in r["parts"]],
+            )
+    assert got == want and got
+
+
+def test_batch_highlights_order_contract(t1_engine):
+    rows = t1_engine.search_many_highlighted(["roll OR dice", "the"], k=4).collect()
+    keys = [(r["query_id"], -r["score"], r["doc_id"], r["turn_idx"]) for r in rows]
+    assert keys == sorted(keys)
+
+
 def test_highlight_reconstructs_text(t1_engine, t1_oracle):
     got = _spark_parts(t1_engine, '"crystal kingdom"')
     for (doc, turn), parts in got.items():
