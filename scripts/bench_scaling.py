@@ -415,6 +415,9 @@ index bytes and all posting/block contents are identical at both levels
 (ids derive from data order, not parallelism — operators/build.py
 assign_dense_ids).
 
+ANN accuracy labels for the bench's `ann_lsh_bucketed` headline:
+BENCH/ANN_RECALL.md (recall vs scanned-fraction tables).
+
 Raw JSON (all samples):
 ```json
 {os.linesep.join(json.dumps(r) for rs in samples.values() for r in rs)}
