@@ -571,6 +571,17 @@ def search_many(
     flat_items = [it for it in items if not _phrase_term_ids(it[1])]
     if mode == "postings":
         phrase_items, flat_items = items, []
+    elif mode == "auto" and flat_items and phrase_items:
+        total_blocks = -(-int(ix.stats["N"]) // int(ix.stats["docs_per_block"]))
+        if total_blocks <= direct_threshold:
+            # tiny index AND the positional postings scan is already being
+            # paid for the phrase queries: folding the flat queries into
+            # that one pipeline beats running a second (blocks) pipeline —
+            # pruning can't recoup anything at this block count.  Above
+            # the threshold the split stands: the phrase scan only fetches
+            # the phrase queries' vocabulary while the flat queries prune
+            # blocks.
+            phrase_items, flat_items = items, []
     elif mode == "blocks" and phrase_items:
         raise ValueError(
             "mode='blocks' cannot answer multi-term phrase queries "
