@@ -300,6 +300,16 @@ def q_ann_lsh_bucketed(spark, sf_dir):  # rows-only (xxhash64 hyperplanes)
     return ann.lsh_bucketed_topk(emb.where(F.col("vec_id") != 0), qv, k=10, n_bits=8)
 
 
+def q_ann_ivf_topk(spark, sf_dir):  # rows-only (centroids are iterative —
+    # not SQL-expressible; pytest oracle: tests/test_pipeline.py
+    # test_ivf_recall_and_determinism)
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    rest = emb.where(F.col("vec_id") != 0)
+    C = ann.kmeans_centroids(rest, k=16)
+    return ann.ivf_topk(rest, qv, C, k=10, nprobe=4)
+
+
 def q_quality_score(spark, sf_dir):
     return text.quality_score(_docs(spark, sf_dir))
 
@@ -440,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,

@@ -230,6 +230,114 @@ def lsh_bucketed_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 8,
+    sample: int = 4096,
+    col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained driver-side on a
+    DETERMINISTIC sample (first `sample` vec_ids — no RNG, so the cell
+    layout is identical across runs and cluster sizes, like every other
+    id in this engine).  k centroids over ~4k sample rows is microseconds
+    of numpy; the expensive part (assigning the corpus) stays in Spark.
+
+    Returns a unit-normalized (k, dim) array.  Empty clusters keep their
+    previous centroid (stable under adversarial samples)."""
+    rows = emb.orderBy("vec_id").limit(int(sample)).collect()
+    if not rows:
+        raise ValueError("cannot train centroids on an empty DataFrame")
+    X = np.asarray([np.asarray(r[col], dtype=np.float64) for r in rows])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(k, len(X))
+    # deterministic init: evenly spaced rows of the vec_id-sorted sample
+    C = X[np.linspace(0, len(X) - 1, k).astype(int)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.sum(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def make_ivf_assign_udf(C: np.ndarray):
+    """Arrow-batched nearest-centroid assignment: one numpy matmul per
+    batch (cosine argmax; vectors need not be pre-normalized — positive
+    scaling doesn't change the argmax over unit centroids)."""
+    Cc = C.copy()
+
+    @F.pandas_udf("int")
+    def assign_udf(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(M @ Cc.T, axis=1).astype(np.int32))
+
+    return assign_udf
+
+
+def add_ivf_cells(
+    emb: DataFrame, C: np.ndarray, col: str = "embedding", out: str = "ivf_cell"
+) -> DataFrame:
+    """Attach IVF cell ids (scale path: write this column once and
+    partition/cluster the table by it — a query then reads only its
+    probed cells' partitions, I/O pruning included)."""
+    return emb.withColumn(out, make_ivf_assign_udf(C)(F.col(col)))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    C: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF ANN: exact-rank only the vectors in the query's `nprobe`
+    nearest cells.  Same output contract as cosine_topk/lsh_bucketed_topk
+    (vec_id, cos rounded; ranked on the raw value).  Recall < 1 by
+    construction; measure with ivf_recall()."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(C @ qn))[: int(nprobe)].tolist()
+    cand = add_ivf_cells(emb, C).where(F.col("ivf_cell").isin([int(c) for c in probe]))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_expr(F.col("embedding"), qcol)
+    return (
+        cand.select("vec_id", sim.alias("sim_raw"))
+        .orderBy(F.desc("sim_raw"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("sim_raw", 4).alias("cos"))
+    )
+
+
+def ivf_recall(
+    emb: DataFrame,
+    query_vecs: list[list[float]],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> float:
+    """Measured recall@k of the IVF path vs the exact scan."""
+    C = kmeans_centroids(emb, k=n_cells)
+    hits, total = 0, 0
+    for qv in query_vecs:
+        exact = {r["vec_id"] for r in cosine_topk(emb, qv, k).collect()}
+        approx = {
+            r["vec_id"] for r in ivf_topk(emb, qv, C, k, nprobe=nprobe).collect()
+        }
+        hits += len(exact & approx)
+        total += len(exact)
+    return hits / total if total else 1.0
+
+
 def lsh_recall(
     emb: DataFrame,
     query_vecs: list[list[float]],

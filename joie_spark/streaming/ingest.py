@@ -1,0 +1,197 @@
+"""Structured Streaming ingest for the incremental index.
+
+The reference is a batch-build engine (engine/src/builder.rs); a
+production transcript firehose wants continuous ingest.  With the
+generation-sliced incremental append (operators/append.py) in place the
+streaming story is exactly Spark's: readStream → (sessionize) →
+foreachBatch(append_index) — each micro-batch commits one delta
+generation, the streaming checkpoint guarantees exactly-once file intake,
+and the append manifest makes every generation's lineage inspectable.
+
+Three pieces:
+
+  append_stream        sink: each micro-batch of WHOLE conversations
+                       becomes one delta generation.  Exactly-once story:
+                       the streaming checkpoint dedupes source files; a
+                       crash between append stages resumes via the append
+                       manifest (idempotent per-gen overwrites); a batch
+                       replayed after a partial append resumes that same
+                       generation (append_index's pending-gen logic).
+  sessionize_stream    custom stateful operator (applyInPandasWithState):
+                       buffers a conversation's turns across micro-batches
+                       and emits the conversation ONLY when complete —
+                       either an explicit end-marker turn arrives
+                       (deterministic, tested) or nothing new arrived for
+                       `gap_seconds` of processing time (timeout path for
+                       markerless streams).  This is what makes the
+                       whole-conversations-per-batch contract of
+                       append_stream real when the upstream emits turns
+                       one at a time.
+  stream_turn_stats    event-time windowed aggregation with a watermark
+                       (late turns beyond the watermark are dropped) —
+                       the monitoring side-channel a firehose deployment
+                       runs next to the ingest.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+END_MARKER = "__end_of_conversation__"
+
+TURN_FIELDS = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def append_stream(
+    stream_df: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Continuous index ingest: every micro-batch appends one delta
+    generation.  `stream_df` must deliver WHOLE conversations per batch
+    (pipe it through sessionize_stream if the upstream emits bare turns);
+    append_index enforces conv-disjointness against the index, so a
+    violated contract fails loudly rather than splitting a conversation
+    across generations.
+
+    Returns the started StreamingQuery.  With
+    trigger_available_now=True the query drains everything currently
+    available and stops — the incremental-batch deployment shape (run it
+    from cron/Airflow); pass False for an always-on micro-batch stream."""
+    from ..operators.append import append_index
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.limit(1).count()
+        if rows == 0:
+            return
+        append_index(batch_df.sparkSession, batch_df, index_dir)
+
+    w = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("turn_idx", T.ArrayType(T.IntegerType())),
+        T.StructField("role", T.ArrayType(T.StringType())),
+        T.StructField("text", T.ArrayType(T.StringType())),
+        T.StructField("tool", T.ArrayType(T.StringType())),
+        T.StructField("ts", T.ArrayType(T.LongType())),  # micros
+    ]
+)
+
+
+def _sessionize_fn(gap_seconds: float):
+    gap_ms = int(gap_seconds * 1000)
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        cols = ["turn_idx", "role", "text", "tool", "ts"]
+        if state.hasTimedOut:
+            # markerless conversation went quiet → emit what we buffered
+            (ti, ro, te, to, ts) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": ti,
+                    "role": ro,
+                    "text": te,
+                    "tool": to,
+                    "ts": pd.to_datetime(pd.Series(ts), unit="us"),
+                }
+            )
+            return
+        buf = {c: list(state.get[i]) for i, c in enumerate(cols)} if state.exists else {
+            c: [] for c in cols
+        }
+        done = False
+        for pdf in pdfs:
+            for r in pdf.itertuples():
+                if r.tool == END_MARKER:
+                    done = True
+                    continue  # the marker itself is not a turn
+                buf["turn_idx"].append(int(r.turn_idx))
+                buf["role"].append(r.role)
+                buf["text"].append(r.text)
+                buf["tool"].append(r.tool if r.tool is not None else "")
+                buf["ts"].append(int(pd.Timestamp(r.ts).value // 1000))
+        if done:
+            if state.exists:
+                state.remove()
+            order = sorted(range(len(buf["turn_idx"])), key=lambda i: buf["turn_idx"][i])
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": [buf["turn_idx"][i] for i in order],
+                    "role": [buf["role"][i] for i in order],
+                    "text": [buf["text"][i] for i in order],
+                    "tool": [buf["tool"][i] for i in order],
+                    "ts": pd.to_datetime(
+                        pd.Series([buf["ts"][i] for i in order]), unit="us"
+                    ),
+                }
+            )
+        else:
+            state.update(tuple(buf[c] for c in cols))
+            state.setTimeoutDuration(gap_ms)
+
+    return fn
+
+
+def sessionize_stream(
+    stream_df: DataFrame, gap_seconds: float = 300.0
+) -> DataFrame:
+    """Assemble bare streaming turns into WHOLE conversations.
+
+    Custom stateful operator (applyInPandasWithState, the escape hatch
+    the built-in session_window can't cover because completion here is
+    content-defined): per conv_id, turns buffer in state across
+    micro-batches; the conversation is emitted once — when a turn with
+    tool == END_MARKER arrives (deterministic path), or when the
+    conversation has been quiet for `gap_seconds` of processing time
+    (timeout path for markerless streams).  Output rows have the turn
+    schema, sorted by turn_idx, ready for append_stream."""
+    return stream_df.groupBy("conv_id").applyInPandasWithState(
+        _sessionize_fn(gap_seconds),
+        outputStructType=TURN_FIELDS,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def stream_turn_stats(
+    stream_df: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
+) -> DataFrame:
+    """Event-time windowed ingest monitoring: turns + whitespace-token
+    volume per (window, role), with a watermark bounding state for late
+    data — the standard firehose health aggregation."""
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "role")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens_ws"),
+        )
+    )

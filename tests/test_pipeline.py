@@ -275,6 +275,42 @@ def test_multiprobe_recall_not_worse(spark):
     assert r1 >= 0.5, f"multi-probe recall suspiciously low: {r1}"
 
 
+def test_ivf_recall_and_determinism(spark):
+    """IVF coarse quantizer: deterministic centroids, monotone recall in
+    nprobe, full cluster recall on planted data, exact scores on every
+    returned candidate."""
+    import random
+
+    rng = random.Random(21)
+    rows, vid = [], 0
+    for _ in range(60):
+        base = [rng.gauss(0, 1) for _ in range(16)]
+        for _ in range(4):
+            rows.append((vid, [x + rng.gauss(0, 0.1) for x in base]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    C1 = ann.kmeans_centroids(emb, k=8, sample=512)
+    C2 = ann.kmeans_centroids(emb, k=8, sample=512)
+    assert (C1 == C2).all()
+
+    queries = [rows[i][1] for i in (0, 41, 82)]
+    r1 = ann.ivf_recall(emb, queries, k=4, n_cells=8, nprobe=1)
+    r4 = ann.ivf_recall(emb, queries, k=4, n_cells=8, nprobe=4)
+    r8 = ann.ivf_recall(emb, queries, k=4, n_cells=8, nprobe=8)
+    assert r1 <= r4 <= r8
+    assert r8 == 1.0  # nprobe == n_cells → exhaustive
+    assert r4 >= 0.5
+
+    # candidates carry EXACT cosine values (subset of the exact ranking)
+    exact = {r["vec_id"]: r["cos"] for r in ann.cosine_topk(emb, queries[0], 240).collect()}
+    for r in ann.ivf_topk(emb, queries[0], C1, k=10, nprobe=2).collect():
+        assert exact[r["vec_id"]] == r["cos"]
+
+    with pytest.raises(ValueError, match="empty"):
+        ann.kmeans_centroids(emb.where(F.col("vec_id") < 0), k=4)
+
+
 def test_multimodal_feature_plumbing(spark):
     media = multimodal.synthetic_media(spark, n=12)
     feats = multimodal.extract_features(media, dim=8).collect()

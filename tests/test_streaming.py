@@ -1,0 +1,175 @@
+"""Structured Streaming ingest (joie_spark/streaming/ingest.py).
+
+Covers: exactly-once file intake into delta generations (append_stream +
+checkpoint), the stateful conversation sessionizer buffering turns ACROSS
+micro-batches (applyInPandasWithState), and the watermarked windowed
+monitoring aggregation."""
+
+import os
+
+import pytest
+
+from joie_spark.streaming import (
+    append_stream,
+    sessionize_stream,
+    stream_turn_stats,
+)
+from joie_spark.streaming.ingest import END_MARKER, TURN_FIELDS
+
+
+def _split_rows(t1_rows, cut=30):
+    convs = sorted({r["conv_id"] for r in t1_rows})
+    a_set = set(convs[:cut])
+    a = [r for r in t1_rows if r["conv_id"] in a_set]
+    b = [r for r in t1_rows if r["conv_id"] not in a_set]
+    return a, b, convs
+
+
+def test_append_stream_exactly_once_generations(spark, t1_rows, tmp_path):
+    """Two incremental availableNow drains over a growing file source:
+    each drains ONLY the new files (streaming checkpoint), each commits
+    one delta generation, and the final index answers like a full
+    rebuild."""
+    from joie_spark.engine import Engine
+    from joie_spark.sources.tables import Manifest
+
+    a, b, convs = _split_rows(t1_rows)
+    b1 = [r for r in b if r["conv_id"] in set(convs[30:40])]
+    b2 = [r for r in b if r["conv_id"] not in set(convs[:40])]
+
+    ix = str(tmp_path / "ix")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    eng = Engine.build(
+        spark, spark.createDataFrame(a), ix, n_buckets=8, docs_per_block=8,
+        block_chunks=1,
+    )
+
+    from pyspark.sql import functions as F
+
+    def write_src(rows):
+        (
+            spark.createDataFrame(rows)
+            .select(
+                "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
+                "role", "text", "tool", "ts",
+            )
+            .write.mode("append").parquet(src)
+        )
+
+    write_src(b1)
+    stream = spark.readStream.schema(TURN_FIELDS).parquet(src)
+    q = append_stream(stream, ix, ckpt)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    write_src(b2)
+    stream = spark.readStream.schema(TURN_FIELDS).parquet(src)
+    q = append_stream(stream, ix, ckpt)
+    q.awaitTermination(120)
+
+    man = Manifest.load(ix)
+    appended = [e["unit"] for e in man.entries if e["stage"] == "append"]
+    assert appended == ["gen=1", "gen=2"]  # one generation per drain, no replays
+
+    eng = Engine(spark, ix)  # reload stats/tables
+    ref_dir = str(tmp_path / "ref")
+    ref = Engine.build(
+        spark, spark.createDataFrame(t1_rows), ref_dir, n_buckets=8,
+        docs_per_block=8, block_chunks=1,
+    )
+
+    def by_conv(e, q):
+        res = e.search(q, k=100000, mode="exhaustive")
+        cv = e.index.turns.select("doc_id", "conv_id").distinct()
+        return sorted(
+            (r["conv_id"], r["turn_idx"], r["score"])
+            for r in res.join(cv, "doc_id").collect()
+        )
+
+    for qs in ["roll OR dice", '"crystal kingdom"', "roll AND dice"]:
+        assert by_conv(eng, qs) == by_conv(ref, qs), qs
+
+
+def test_sessionizer_buffers_across_microbatches(spark, tmp_path):
+    """Turns of one conversation arrive split over several micro-batches
+    (maxFilesPerTrigger=1); the conversation must be emitted exactly once,
+    complete and turn-ordered, only after its end-marker arrives."""
+    src = str(tmp_path / "sess_src")
+    rows1 = [
+        ("c-1", 0, "user", "hello there", "", "2024-01-01 00:00:00"),
+        ("c-1", 1, "assistant", "hi friend", "", "2024-01-01 00:00:01"),
+        ("c-2", 0, "user", "other conv", "", "2024-01-01 00:00:02"),
+    ]
+    rows2 = [
+        ("c-1", 2, "user", "bye now", "", "2024-01-01 00:00:03"),
+        ("c-1", 99, "system", "", END_MARKER, "2024-01-01 00:00:04"),
+    ]
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(c, i, r, t, tool, ts) for c, i, r, t, tool, ts in rows],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+        ).selectExpr(
+            "conv_id", "turn_idx", "role", "text", "tool", "CAST(ts AS TIMESTAMP) AS ts"
+        )
+
+    df(rows1).coalesce(1).write.mode("append").parquet(src)
+    df(rows2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(TURN_FIELDS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = sessionize_stream(stream, gap_seconds=3600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sessions_out ORDER BY conv_id, turn_idx").collect()
+    # c-1 complete (3 turns, marker excluded); c-2 still buffered (no marker)
+    assert [(r["conv_id"], r["turn_idx"], r["text"]) for r in got] == [
+        ("c-1", 0, "hello there"),
+        ("c-1", 1, "hi friend"),
+        ("c-1", 2, "bye now"),
+    ]
+
+
+def test_stream_turn_stats_windows(spark, tmp_path):
+    src = str(tmp_path / "stats_src")
+    rows = [
+        ("c-1", 0, "user", "a b c", "", "2024-01-01 00:00:10"),
+        ("c-1", 1, "assistant", "d e", "", "2024-01-01 00:00:20"),
+        ("c-2", 0, "user", "f", "", "2024-01-01 00:01:30"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).selectExpr(
+        "conv_id", "turn_idx", "role", "text", "tool", "CAST(ts AS TIMESTAMP) AS ts"
+    ).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(TURN_FIELDS).parquet(src)
+    agg = stream_turn_stats(stream, window="1 minute", watermark="2 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stats_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window"]["start"].minute, r["role"]): (r["n_turns"], r["n_tokens_ws"])
+        for r in spark.sql("SELECT * FROM stats_out").collect()
+    }
+    assert got == {
+        (0, "user"): (1, 3),
+        (0, "assistant"): (1, 2),
+        (1, "user"): (1, 1),
+    }
