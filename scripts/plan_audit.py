@@ -88,6 +88,14 @@ def main() -> None:
         and "docids" in plan_b2
     )
     results["batch_flat_skips_postings"] = "/postings" not in plan_b2
+    # the blocks scan itself must be bucket-partition-pruned, term_id
+    # row-group-pruned, and read ONLY the decode columns (no positions,
+    # no block-max metadata on the direct path)
+    results["batch_blocks_scan_pruned"] = (
+        "PartitionFilters: [bucket" in plan_b2
+        and "In(term_id" in plan_b2
+        and "positions" not in plan_b2
+    )
 
     # 6. no cross join in any headline bench query (VERDICT r1: the bench
     # must measure the scale paths, not the sampled pairwise oracles)

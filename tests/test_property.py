@@ -69,3 +69,38 @@ def test_batch_equals_single_random(batch, t1_engine):
             for r in t1_engine.search(q, k=5, mode="exhaustive").collect()
         ]
         assert by_q[i] == want, q
+
+
+# boolean structure generator: keywords / AND pairs / OR of AND — the
+# shapes the blocks-path predicate compiler must honor under θ-pruning
+_clause = st.lists(
+    st.sampled_from(VOCAB), min_size=1, max_size=2, unique=True
+).map(" AND ".join)
+_query = st.lists(_clause, min_size=1, max_size=2).map(
+    lambda cs: " OR ".join(f"({c})" for c in cs)
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(batch=st.lists(_query, min_size=1, max_size=4))
+def test_batch_blockmax_pruned_equals_single_random(batch, t1_engine):
+    """Forced block-max machinery (no decode-all shortcut, 1-block probe)
+    over random boolean batches must stay bit-identical to the exhaustive
+    single-query path."""
+    rows = t1_engine.search_many(
+        batch, k=3, direct_threshold=0, probe_blocks=1
+    ).collect()
+    by_q: dict[int, list] = {i: [] for i in range(len(batch))}
+    for r in rows:
+        by_q[r["query_id"]].append((r["doc_id"], r["turn_idx"], r["score"]))
+    for i, q in enumerate(batch):
+        want = [
+            (r["doc_id"], r["turn_idx"], r["score"])
+            for r in t1_engine.search(q, k=3, mode="exhaustive").collect()
+        ]
+        assert by_q[i] == want, q
