@@ -275,6 +275,19 @@ def q_minhash_lsh_verified(spark, sf_dir):  # rows-only (pytest-oracled:
     return dedup.minhash_lsh_verified(_docs(spark, sf_dir), threshold=0.7)
 
 
+def q_minhash_lsh_portable(spark, sf_dir):
+    """Same banded-LSH pipeline on the SQL-portable md5-derived hash —
+    value-for-value DuckDB-oracled (the xxhash64 fast path keeps the
+    rows-only check + pytest oracle)."""
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), k=16, bands=4, portable_hash=True
+    )
+
+
+def q_simhash_portable(spark, sf_dir):
+    return dedup.simhash64(_docs(spark, sf_dir), portable_hash=True)
+
+
 def q_simhash(spark, sf_dir):  # rows-only
     return dedup.simhash64(_docs(spark, sf_dir))
 
@@ -444,8 +457,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_lsh_portable": q_minhash_lsh_portable,
         "minhash_lsh_verified": q_minhash_lsh_verified,
         "simhash": q_simhash,
+        "simhash_portable": q_simhash_portable,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -478,6 +493,62 @@ _BATCH_UNION = " UNION ALL ".join(
 )
 _MARKERS = ",".join(f"'{m}'" for m in ["the", "a", "and", "of", "to", "is", "in", "that"])
 _TERMS3 = ",".join(f"'{t}'" for t in BM25_TERMS)
+
+
+def _dd_hash64(expr: str, seed) -> str:
+    """DuckDB side of pipeline/dedup._hash64_sql(portable=True)."""
+    return f"('0x' || substring(md5('{seed}:' || {expr}), 1, 15))::BIGINT"
+
+
+def _minhash_portable_oracle(k: int = 16, bands: int = 4) -> str:
+    rpb = k // bands
+    sigs = ",\n                   ".join(
+        f"list_min(list_transform(s, x -> {_dd_hash64('x', seed)})) AS m{seed}"
+        for seed in range(k)
+    )
+    band_rows = "\n              UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {h} AS bucket FROM sig".format(
+            b=b,
+            h=_dd_hash64(
+                "concat_ws(',', {})".format(
+                    ", ".join(
+                        f"m{b * rpb + r}::VARCHAR" for r in range(rpb)
+                    )
+                ),
+                "b",
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+            WITH sh AS (
+              SELECT doc_id, list_distinct(
+                list_transform(generate_series(1, greatest(len({TOK_DD}) - 2, 0)),
+                               i -> array_to_string(({TOK_DD})[i:i+2], ' '))) AS s
+              FROM documents),
+            sig AS (
+              SELECT doc_id,
+                   {sigs}
+              FROM sh WHERE len(s) > 0),
+            banded AS (
+              {band_rows})
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM banded x JOIN banded y
+              ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id"""
+
+
+def _simhash_portable_oracle() -> str:
+    ones = ", ".join(f"sum((h >> {i}) & 1) AS o{i}" for i in range(60))
+    sig = " + ".join(
+        f"CASE WHEN 2*o{i} > n THEN (1::BIGINT << {i}) ELSE 0 END"
+        for i in range(60)
+    )
+    return f"""
+            WITH tok AS (SELECT doc_id, unnest({TOK_DD}) AS t FROM documents),
+            h AS (SELECT doc_id, {_dd_hash64('t', 't')} AS h FROM tok),
+            agg AS (SELECT doc_id, count(*) AS n, {ones}
+                    FROM h GROUP BY doc_id)
+            SELECT doc_id, ({sig})::BIGINT AS simhash FROM agg"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -592,6 +663,8 @@ def oracle_sql() -> dict[str, str]:
               AND round(len(list_intersect(a.s, b.s))::DOUBLE /
                         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE, 4)
                   > 0.2""",
+        "minhash_lsh_portable": _minhash_portable_oracle(),
+        "simhash_portable": _simhash_portable_oracle(),
         "embedding_neardup": """
             WITH p AS (
               SELECT a.vec_id AS a, b.vec_id AS b,

@@ -75,8 +75,27 @@ def ngram_jaccard_pairs(
     )
 
 
+def _hash64_sql(expr: str, seed, portable: bool) -> str:
+    """Seeded 64-bit hash as Spark SQL text.
+
+    Default: xxhash64 (JVM-native, the fast path — NOT available in
+    DuckDB, so operators built on it get rows-only driver checks plus
+    pytest oracles).  portable=True: the top 60 bits of md5, an identical
+    expression in Spark (`conv(hex, 16, 10)`) and DuckDB
+    (`('0x' || hex)::BIGINT`) — slower (md5 of every shingle) but lets
+    the SAME LSH pipeline be verified value-for-value against a DuckDB
+    oracle (driver entries minhash_lsh_portable / simhash_portable)."""
+    if portable:
+        return (
+            f"cast(conv(substring(md5(concat('{seed}:', {expr})), 1, 15),"
+            f" 16, 10) as bigint)"
+        )
+    return f"xxhash64({expr}, {seed})"
+
+
 def minhash_signatures(
-    docs: DataFrame, k: int = 32, n: int = 3, shingled: DataFrame | None = None
+    docs: DataFrame, k: int = 32, n: int = 3, shingled: DataFrame | None = None,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """K minhash values per doc: min over shingles of xxhash64(shingle, seed).
 
@@ -92,7 +111,11 @@ def minhash_signatures(
     )
     sig = F.array(
         *[
-            F.array_min(F.expr(f"transform(shingles, s -> xxhash64(s, {seed}))"))
+            F.array_min(
+                F.expr(
+                    f"transform(shingles, s -> {_hash64_sql('s', seed, portable_hash)})"
+                )
+            )
             for seed in range(k)
         ]
     )
@@ -103,7 +126,7 @@ def minhash_signatures(
 
 def minhash_lsh_pairs(
     docs: DataFrame, k: int = 32, bands: int = 8, n: int = 3,
-    shingled: DataFrame | None = None,
+    shingled: DataFrame | None = None, portable_hash: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -111,25 +134,25 @@ def minhash_lsh_pairs(
     (band, bucket) — the 100 TB-safe path (no cross join anywhere).
     Verify candidates with exact Jaccard downstream if exactness needed."""
     rows_per_band = k // bands
-    sigs = minhash_signatures(docs, k, n, shingled=shingled)
+    sigs = minhash_signatures(docs, k, n, shingled=shingled,
+                              portable_hash=portable_hash)
+
+    def band_hash(b: int):
+        concat = "concat_ws(',', {})".format(
+            ", ".join(
+                f"element_at(sig, {b * rows_per_band + r + 1})"
+                for r in range(rows_per_band)
+            )
+        )
+        if portable_hash:
+            return F.expr(_hash64_sql(concat, "b", True))
+        return F.expr(f"xxhash64({concat})")  # default seed — unchanged values
+
     banded = sigs.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(F.array(*[band_hash(b) for b in range(bands)])).alias(
+            "band", "bucket"
+        ),
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -199,8 +222,11 @@ def minhash_lsh_verified(
 _SIMHASH_LANE_MASK = 0x0001000100010001
 
 
-def simhash64(docs: DataFrame) -> DataFrame:
+def simhash64(docs: DataFrame, portable_hash: bool = False) -> DataFrame:
     """64-bit SimHash per document: sign-sum of per-token 64-bit hashes.
+    portable_hash switches to the md5-derived 60-bit hash (_hash64_sql) —
+    bits 60-63 then always count 0 ones and stay clear, identically on
+    both sides of the DuckDB oracle comparison.
 
     Packed-lane aggregation (VERDICT r2): instead of 64 per-bit
     sum(when(...)) columns, 16 accumulators each hold 4 SWAR lanes of
@@ -214,7 +240,10 @@ def simhash64(docs: DataFrame) -> DataFrame:
     per_tok = (
         docs.withColumn("tokens", sql_tokens())
         .select("doc_id", F.explode("tokens").alias("t"))
-        .withColumn("h", F.xxhash64("t"))
+        .withColumn(
+            "h",
+            F.expr(_hash64_sql("t", "t", True)) if portable_hash else F.xxhash64("t"),
+        )
     )
     accs = [
         F.sum(
