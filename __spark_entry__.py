@@ -262,7 +262,10 @@ def q_dup_clusters(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, sample_mod=25, threshold=0.2)
+    # threshold chosen to yield NONZERO rows on the driver corpus (max
+    # observed sampled jaccard ~0.05): a green row should verify VALUES,
+    # not an empty set (VERDICT r2 observation)
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, sample_mod=25, threshold=0.02)
 
 
 def q_minhash_lsh(spark, sf_dir):  # rows-only: xxhash64 not SQL-portable
@@ -298,7 +301,9 @@ def q_simhash_pairs(spark, sf_dir):  # rows-only (pytest pigeonhole-recall
 
 
 def q_embedding_neardup(spark, sf_dir):
-    return dedup.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.95, sample_mod=10)
+    # corpus embeddings are near-isotropic (sampled cos p99.9 ~0.46):
+    # threshold 0.30 yields a real result set to value-check
+    return dedup.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.30, sample_mod=10)
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -662,7 +667,7 @@ def oracle_sql() -> dict[str, str]:
               AND (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) > 0
               AND round(len(list_intersect(a.s, b.s))::DOUBLE /
                         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE, 4)
-                  > 0.2""",
+                  > 0.02""",
         "minhash_lsh_portable": _minhash_portable_oracle(),
         "simhash_portable": _simhash_portable_oracle(),
         "embedding_neardup": """
@@ -675,7 +680,7 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
               WHERE a.vec_id % 10 = 0)
             SELECT a, b, round(dot/(na*nb), 4) AS cos FROM p
-            WHERE round(dot/(na*nb), 4) >= 0.95""",
+            WHERE round(dot/(na*nb), 4) >= 0.30""",
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
             p AS (
