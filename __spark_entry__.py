@@ -6,9 +6,12 @@ conjunctive intersection, union-dedup, phrase adjacency, BM25 top-k) plus
 the training-data pipeline operators (dedup suite, ANN, text analysis)
 over the driver's fixed tables.  Each query has a DuckDB-equivalent
 ``oracle_sql()`` unless the operator is genuinely not SQL-portable
-(MinHash/SimHash use Spark's xxhash64; LSH-bucketed ANN shares the same
-non-portable signatures) — those get the weaker rows-only check and are
-oracle-tested in pytest instead (tests/test_pipeline.py).
+(the xxhash64 fast paths of MinHash/SimHash and the hyperplane/centroid
+ANN variants) — those get the weaker rows-only check and are
+oracle-tested in pytest instead (tests/test_pipeline.py); the
+``*_portable`` entries run the SAME LSH pipelines on an md5-derived hash
+that DuckDB can evaluate, so the banded-LSH machinery itself IS
+value-checked against the oracle.
 
 All floats are rounded in-query (both sides, identical expressions) so
 engine-level last-bit differences cannot break the value-hash compare;

@@ -60,11 +60,15 @@ class Engine:
     ) -> DataFrame:
         """BM25 top-k: (doc_id, turn_idx, score).
 
-        mode='auto' routes pure disjunctive keyword queries (no turn
-        filter) to the block-max WAND path over compressed blocks —
-        rank-identical by construction, decodes only surviving blocks;
-        everything else uses the exhaustive postings scorer.
-        mode='exhaustive' / mode='wand' force a path."""
+        mode='auto' answers from the COMPRESSED index whenever positions
+        aren't needed: pure disjunctive keyword queries take the
+        single-query block-max WAND path (operators/wand.py); phrase-free
+        boolean queries (ANDs, mixed and/or) take the batch block-max
+        machinery as a batch of one (operators/batch.py) — both
+        rank-identical to the exhaustive scorer by construction.  Only
+        multi-term phrases (positions live in the postings table) and
+        turn-filtered queries scan postings.  mode='exhaustive' /
+        mode='wand' force a path."""
         if mode in ("auto", "wand") and where is None:
             expr = parse_query(query)
             lits = _lits(expr)
@@ -79,6 +83,11 @@ class Engine:
                 raise ValueError(
                     "mode='wand' requires a pure disjunctive keyword query"
                 )
+            if all(len(w) <= 1 for w in node_words):
+                # boolean but phrase-free → compressed index, batch of one
+                return self.search_many(
+                    [query], k=k, where_doc=where_doc, optimize=optimize
+                ).drop("query_id")
         return Q.search(
             self.index, query, k=k, where=where, where_doc=where_doc,
             optimize=optimize,
