@@ -159,6 +159,43 @@ def test_append_resumes_after_crash(spark, t1_rows, tmp_path, monkeypatch):
         ), q
 
 
+def test_wand_sound_under_extreme_avgdl_drift(spark, t1_rows, tmp_path):
+    """Append documents ~20x longer than the base corpus so avgdl jumps
+    hard: every pruned path (single WAND, batch direct, batch forced-θ)
+    must still equal the exhaustive scorer — the enc_avgdl ub correction
+    is exactly what keeps stale block-max bounds sound here."""
+    from joie_spark.engine import Engine
+
+    d = str(tmp_path / "ix_drift")
+    eng = Engine.build(
+        spark, spark.createDataFrame(t1_rows), d, n_buckets=8,
+        docs_per_block=8, block_chunks=1,
+    )
+    avgdl_before = eng.index.stats["avgdl"]
+    ts = t1_rows[0]["ts"]
+    filler = " ".join(f"filler{j % 40}" for j in range(260))
+    long_rows = [
+        {
+            "conv_id": f"zz-long-{i:03d}", "turn_idx": 0, "role": "user",
+            "text": f"roll dice kingdom {filler}", "tool": "", "ts": ts,
+        }
+        for i in range(50)
+    ]
+    eng.append(spark.createDataFrame(long_rows))
+    assert eng.index.stats["avgdl"] > 1.5 * avgdl_before  # drift is real
+
+    for q in ["roll OR dice", "roll AND dice", "kingdom OR dice"]:
+        want = [tuple(r) for r in eng.search(q, k=8, mode="exhaustive").collect()]
+        assert [tuple(r) for r in eng.search(q, k=8).collect()] == want, q
+        got_f = [
+            (r["doc_id"], r["turn_idx"], r["score"])
+            for r in eng.search_many(
+                [q], k=8, direct_threshold=0, probe_blocks=1
+            ).collect()
+        ]
+        assert got_f == [(a, b, c) for a, b, c in want], q
+
+
 def test_compaction_preserves_results(appended, spark, t1_rows, tmp_path_factory):
     from joie_spark.engine import Engine
 
