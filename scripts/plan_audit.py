@@ -44,17 +44,23 @@ def main() -> None:
     )
     results = {}
 
-    # 1. postings scan pruning
-    plan = explain_str(eng.search("roll AND dice", k=10))
+    # 1. postings scan pruning (exhaustive path: auto now routes
+    # phrase-free booleans through the compressed blocks machinery, whose
+    # top-k is the TWO-PHASE aggregation — no TakeOrdered, by design)
+    plan = explain_str(eng.search("roll AND dice", k=10, mode="exhaustive"))
     results["partition_pruning_bucket"] = "bucket" in plan and (
         "PartitionFilters" in plan
     )
     results["pushed_term_filter"] = "PushedFilters" in plan and "term_id" in plan
-    # 2. top-k
+    # 2. exhaustive top-k lowers to TakeOrderedAndProject (no global sort);
+    # the auto/blocks path's per-query top-k must stay window-free (a hot
+    # query's candidates would all land in one window task)
     results["take_ordered"] = "TakeOrderedAndProject" in plan
+    plan_auto = explain_str(eng.search("roll AND dice", k=10))
+    results["auto_topk_window_free"] = "Window" not in plan_auto
     # 4. codegen coverage: AQE finalizes the plan at execution time, so
     # collect first and look for the *(n) codegen markers in executedPlan
-    df = eng.search("roll AND dice", k=10)
+    df = eng.search("roll AND dice", k=10, mode="exhaustive")
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     results["wholestage_codegen"] = "*(" in executed
