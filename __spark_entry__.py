@@ -250,6 +250,10 @@ def q_topk_longest(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
+    # NOTE: the driver corpus has no byte-identical docs, so this row is
+    # green with 0 rows on both sides (schema+hash still compared); the
+    # VALUE behavior on planted duplicates is pytest-oracled through the
+    # same entry function (tests/test_pipeline.py test_exact_duplicates).
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
 
@@ -319,6 +323,22 @@ def q_ann_lsh_bucketed(spark, sf_dir):  # rows-only (xxhash64 hyperplanes)
     emb = _emb(spark, sf_dir)
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
     return ann.lsh_bucketed_topk(emb.where(F.col("vec_id") != 0), qv, k=10, n_bits=8)
+
+
+ANN_PORTABLE_BITS, ANN_DIM = 4, 64
+
+
+def q_ann_lsh_bucketed_portable(spark, sf_dir):
+    """Bucketed hyperplane ANN on md5-parity hyperplanes — the
+    value-oracle twin of ann_lsh_bucketed (VERDICT r3 item 6): the
+    signature arithmetic is the same left-assoc float64 sequence in Spark
+    SQL and DuckDB, so the bucket filter + cosine re-rank machinery gets
+    a green VALUE row, not just rows-only."""
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return ann.lsh_bucketed_topk_portable(
+        emb.where(F.col("vec_id") != 0), qv, k=10, n_bits=ANN_PORTABLE_BITS
+    )
 
 
 def q_ann_ivf_topk(spark, sf_dir):  # rows-only (centroids are iterative —
@@ -473,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        "ann_lsh_bucketed_portable": q_ann_lsh_bucketed_portable,
         "ann_ivf_topk": q_ann_ivf_topk,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -501,6 +522,30 @@ _BATCH_UNION = " UNION ALL ".join(
 )
 _MARKERS = ",".join(f"'{m}'" for m in ["the", "a", "and", "of", "to", "is", "in", "that"])
 _TERMS3 = ",".join(f"'{t}'" for t in BM25_TERMS)
+
+
+def _ann_portable_oracle() -> str:
+    """DuckDB twin of q_ann_lsh_bucketed_portable: identical md5-parity
+    hyperplanes (portable_hyperplane_components), identical left-assoc
+    signature arithmetic, single-bucket filter, exact cosine re-rank."""
+    H = ann.portable_hyperplane_components(ANN_PORTABLE_BITS, ANN_DIM)
+    sig_e = ann.portable_signature_sql(H, "e.embedding", "{v}[{i}]::DOUBLE")
+    sig_q = ann.portable_signature_sql(H, "q.qe", "{v}[{i}]::DOUBLE")
+    return f"""
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            cand AS (
+              SELECT e.vec_id, e.embedding
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id != 0 AND {sig_e} = {sig_q}),
+            p AS (
+              SELECT c.vec_id,
+                list_sum(list_transform(generate_series(1, len(c.embedding)),
+                         i -> c.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)) AS dot,
+                sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE))) AS na,
+                sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE))) AS nb
+              FROM cand c CROSS JOIN q)
+            SELECT vec_id, round(dot/(na*nb), 4) AS cos FROM p
+            ORDER BY dot/(na*nb) DESC, vec_id LIMIT 10"""
 
 
 def _dd_hash64(expr: str, seed) -> str:
@@ -672,6 +717,7 @@ def oracle_sql() -> dict[str, str]:
                         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE, 4)
                   > 0.02""",
         "minhash_lsh_portable": _minhash_portable_oracle(),
+        "ann_lsh_bucketed_portable": _ann_portable_oracle(),
         "simhash_portable": _simhash_portable_oracle(),
         "embedding_neardup": """
             WITH p AS (

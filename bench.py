@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+REPS = int(os.environ.get("SPARK_GRAFT_REPS", 3))
 
 # Headlines measure the SCALE paths only (VERDICT r1): the sampled
 # pairwise oracles (ngram_jaccard, embedding_neardup) stay as correctness
@@ -78,16 +79,57 @@ def main() -> None:
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
 
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     qmap = entrymod.queries()
     # steady-state warmup: one cheap query absorbs the session's one-time
     # costs (parquet footer reads, codegen compilation, python worker
     # spin-up) so the first timed headline doesn't carry them
     qmap["quality_score"](spark, SF_DIR).count()
+
+    # min-of-N INTERLEAVED reps (VERDICT r3): this host has documented
+    # 1-5x contention spikes; a single run per query cannot distinguish a
+    # real regression from a noisy window.  Interleaving (all queries rep
+    # 1, then all rep 2, ...) decorrelates a contention burst from any one
+    # query; min is the standard noise-floor estimator (same as
+    # scripts/bench_scaling.py).
+    # materialize via the noop sink, not .count(): count() lets Catalyst
+    # prune every projected column, so a query like quality_score would be
+    # timed WITHOUT computing its scores (measurement honesty, r4)
+    def run_query(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    for _rep in range(REPS):
+        for name in HEADLINE:
+            t0 = time.time()
+            df = qmap[name](spark, SF_DIR)
+            run_query(df) if name not in ("bm25_topk",) else df.collect()
+            spreads.setdefault(name, []).append(round(time.time() - t0, 3))
     for name in HEADLINE:
-        t0 = time.time()
-        df = qmap[name](spark, SF_DIR)
-        df.count() if name not in ("bm25_topk",) else df.collect()
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = min(spreads[name])
+
+    # write-once ANN (VERDICT r3 item 4): materialize the bucket-
+    # partitioned table ONCE (the one-time cost a production deployment
+    # amortizes over all queries), then time the partition-pruned probe
+    # query — vs ann_lsh_bucketed above, which re-signatures the corpus
+    # per query (the ad-hoc shape)
+    import joie_spark.pipeline.ann as ann_mod
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    mat = tempfile.mkdtemp(prefix="joie_bench_ann_")
+    try:
+        ann_mod.materialize_lsh_buckets(emb.where("vec_id != 0"), mat, n_bits=8)
+        for _rep in range(REPS):
+            t0 = time.time()
+            ann_mod.lsh_bucketed_topk_materialized(
+                spark, mat, qv, k=10, probe_hamming=1
+            ).collect()
+            spreads.setdefault("ann_lsh_materialized", []).append(
+                round(time.time() - t0, 3)
+            )
+        timings["ann_lsh_materialized"] = min(spreads["ann_lsh_materialized"])
+    finally:
+        shutil.rmtree(mat, ignore_errors=True)
 
     # engine cycle: build over documents-as-transcripts, then warm QPS
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
@@ -112,18 +154,49 @@ def main() -> None:
 
         # warm-up then the timed batch: the whole query set in ONE
         # search_many job (per-query driver latency amortized — the
-        # engine's throughput story; see Engine.search_many)
+        # engine's throughput story; see Engine.search_many).  Two
+        # variants, interleaved min-of-REPS:
+        #   engine_query_batch         auto plan (decode-all shortcut at
+        #                              this block count — the RIGHT plan
+        #                              here)
+        #   engine_query_batch_pruned  direct_threshold=0 forces the
+        #                              3-phase probe/θ block-max WAND
+        #                              machinery, so the pruned path's
+        #                              constant factors are a MEASURED
+        #                              number at this scale, not an
+        #                              extrapolation (VERDICT r3 item 2)
         batch = ENGINE_BATCH
         eng.search_many(ENGINE_QUERIES, k=10).collect()
-        t0 = time.time()
-        n_rows = len(eng.search_many(batch, k=10).collect())
-        query_sec = time.time() - t0
-        assert n_rows > 0
-        timings["engine_query_batch"] = round(query_sec, 3)
+        for _rep in range(REPS):
+            t0 = time.time()
+            n_rows = len(eng.search_many(batch, k=10).collect())
+            spreads.setdefault("engine_query_batch", []).append(
+                round(time.time() - t0, 3)
+            )
+            assert n_rows > 0
+            t0 = time.time()
+            n_rows_p = len(
+                eng.search_many(
+                    batch, k=10, direct_threshold=0, probe_blocks=8
+                ).collect()
+            )
+            spreads.setdefault("engine_query_batch_pruned", []).append(
+                round(time.time() - t0, 3)
+            )
+            assert n_rows_p == n_rows
+        query_sec = min(spreads["engine_query_batch"])
+        timings["engine_query_batch"] = query_sec
+        timings["engine_query_batch_pruned"] = min(
+            spreads["engine_query_batch_pruned"]
+        )
         # latency reference: one single query through Engine.search
-        t0 = time.time()
-        eng.search(ENGINE_QUERIES[0], k=10).collect()
-        single_sec = time.time() - t0
+        for _rep in range(REPS):
+            t0 = time.time()
+            eng.search(ENGINE_QUERIES[0], k=10).collect()
+            spreads.setdefault("engine_single_query", []).append(
+                round(time.time() - t0, 3)
+            )
+        single_sec = min(spreads["engine_single_query"])
         # incremental ingest: append a 10% delta (fresh conv_ids) as one
         # generation — the daily-delta shape (operators/append.py)
         delta = transcripts.limit(n_turns // 10).withColumn(
@@ -155,6 +228,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": CPUS,
+                "reps": REPS,
+                "spread": spreads,
                 "engine": engine_metrics,
             }
         )

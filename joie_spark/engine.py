@@ -63,30 +63,32 @@ class Engine:
         mode='auto' answers from the COMPRESSED index whenever positions
         aren't needed: pure disjunctive keyword queries take the
         single-query block-max WAND path (operators/wand.py); phrase-free
-        boolean queries (ANDs, mixed and/or) take the batch block-max
-        machinery as a batch of one (operators/batch.py) — both
-        rank-identical to the exhaustive scorer by construction.  Only
-        multi-term phrases (positions live in the postings table) and
-        turn-filtered queries scan postings.  mode='exhaustive' /
-        mode='wand' force a path."""
-        if mode in ("auto", "wand") and where is None:
+        boolean queries (ANDs, mixed and/or) — including turn-filtered
+        ones (`where`, fused pre-θ on the blocks path, batch.py) — take
+        the batch block-max machinery as a batch of one (operators/
+        batch.py).  All rank-identical to the exhaustive scorer by
+        construction.  Only multi-term phrases scan the positional
+        postings table.  mode='exhaustive' / mode='wand' force a path."""
+        if mode in ("auto", "wand"):
             expr = parse_query(query)
             lits = _lits(expr)
             node_words = [tokenize_terms(t) for t in lits]
             is_disjunctive = all(len(w) == 1 for w in node_words) and _is_or_only(expr)
-            if is_disjunctive:
+            if is_disjunctive and where is None:
                 from .operators.wand import wand_topk
 
                 words = [w for ws in node_words for w in ws]
                 return wand_topk(self.index, words, k=k, where_doc=where_doc)
             if mode == "wand":
                 raise ValueError(
-                    "mode='wand' requires a pure disjunctive keyword query"
+                    "mode='wand' requires a pure disjunctive keyword query "
+                    "without a turn filter"
                 )
             if all(len(w) <= 1 for w in node_words):
                 # boolean but phrase-free → compressed index, batch of one
                 return self.search_many(
-                    [query], k=k, where_doc=where_doc, optimize=optimize
+                    [query], k=k, where=where, where_doc=where_doc,
+                    optimize=optimize,
                 ).drop("query_id")
         return Q.search(
             self.index, query, k=k, where=where, where_doc=where_doc,

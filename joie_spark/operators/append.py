@@ -80,23 +80,75 @@ def _live_dict(spark, fmt, index_dir: str, dict_gen: int) -> DataFrame:
     )
 
 
+def _gen_dirs(root: str) -> dict[int, str]:
+    """On-disk gen=N partition dirs of a parquet table root."""
+    if not os.path.isdir(root):
+        return {}
+    return {
+        int(d.removeprefix("gen=")): os.path.join(root, d)
+        for d in os.listdir(root)
+        if d.startswith("gen=")
+    }
+
+
+def _all_known_gens(man: Manifest, stats: dict, index_dir: str, fmt) -> set[int]:
+    """Every generation number that has EVER been used — committed or not.
+
+    A fresh append/compact must pick a strictly larger gen: reusing the
+    number of a compacted (or crashed) generation would make the new
+    subunit's mode('overwrite') write REPLACE that slice — silent loss of
+    everything it held (ADVICE r3, high).  Sources: stats (gens,
+    post_gens, compacted_gen), every gen-addressed manifest entry
+    (append_begin/append/compact — covers crashed attempts), and for
+    parquet the on-disk partition dirs (covers a compact that crashed
+    before its manifest commit)."""
+    gens: set[int] = set(stats.get("gens", [0]))
+    gens.update(int(g) for g in stats.get("post_gens", []))
+    gens.add(int(stats.get("compacted_gen", 0)))
+    for e in man.entries:
+        if e["stage"] in ("append_begin", "append", "compact") and str(
+            e.get("unit", "")
+        ).startswith("gen="):
+            gens.add(int(e["unit"].removeprefix("gen=")))
+    if fmt.name == "parquet":
+        for table in ("postings", "blocks", "turns", "term_dict"):
+            gens.update(_gen_dirs(table_path(index_dir, table)))
+    return gens
+
+
 def append_index(
     spark: SparkSession,
     new_source: DataFrame | str,
     index_dir: str,
     collect_metrics: bool = False,
+    idempotency_key: str | None = None,
 ) -> Manifest:
     """Append new conversations to a COMPLETE index at index_dir.
 
     Stages (each manifest-committed; a crashed append resumes at the
     failed stage — all writes are idempotent per-gen partition
     overwrites): begin → turns → doc_meta → term_dict → postings →
-    blocks → stats."""
+    blocks → stats.
+
+    `idempotency_key`: an at-most-once token for replay-prone callers
+    (the streaming sink passes its micro-batch id).  A call whose key
+    matches an already COMMITTED append returns immediately as a no-op —
+    a batch replayed after a crash between the append commit and the
+    streaming checkpoint would otherwise start a new generation and trip
+    the conv-disjointness check forever (ADVICE r3)."""
     man = Manifest.load(index_dir)
     if not (man.is_done("build") or any(
         e["stage"] == "append" and e["status"] == "done" for e in man.entries
     )):
         raise ValueError("append_index requires a completed build at index_dir")
+    if idempotency_key is not None:
+        for e in man.entries:
+            if (
+                e["stage"] == "append_begin"
+                and e.get("key") == idempotency_key
+                and man.is_done("append", e["unit"])
+            ):
+                return man  # replay of a fully committed append
     stats = read_stats(index_dir)
     fmt = format_by_name(stats.get("table_format", "parquet"))
     n_buckets = stats["n_buckets"]
@@ -108,7 +160,9 @@ def append_index(
     src = src.withColumn("turn_idx", F.col("turn_idx").cast("int"))
 
     # generation assignment: resume an unfinished append's gen if one is
-    # pending (begin committed, append not), else next after the max
+    # pending (begin committed, append not), else strictly after EVERY gen
+    # ever used (incl. compacted/crashed ones — reuse would overwrite a
+    # live slice, see _all_known_gens)
     begun = [e for e in man.entries if e["stage"] == "append_begin"]
     done = {e["unit"] for e in man.entries if e["stage"] == "append"}
     pending = [e for e in begun if e["unit"] not in done]
@@ -121,11 +175,14 @@ def append_index(
                 "%s != %s); finish or reset the pending append first"
                 % (gen, fp, pending[-1].get("input_fp"))
             )
+        # resume recomputes the final stats from the bases recorded at
+        # begin-time: the on-disk stats may already include this delta (a
+        # crash between write_stats and the append commit) and adding the
+        # delta to them again would skew every BM25 score (ADVICE r3)
+        base_n = int(pending[-1].get("base_N", stats["N"]))
+        base_total_dl = int(pending[-1].get("base_total_dl", stats["total_dl"]))
     else:
-        gen = 1 + max(
-            [int(e["unit"].removeprefix("gen=")) for e in begun],
-            default=max(stats.get("gens", [0])),
-        )
+        gen = 1 + max(_all_known_gens(man, stats, index_dir, fmt))
         validate_turn_idx(src)
         # disjointness contract (same as the shard merge): appended
         # conv_ids must be new
@@ -144,7 +201,12 @@ def append_index(
                 f"append input shares {clash} conv_id(s) with the index; "
                 "appends must be disjoint (use tombstoning/rebuild for updates)"
             )
-        man.commit("append_begin", f"gen={gen}", input_fp=_input_fingerprint(src))
+        base_n = int(stats["N"])
+        base_total_dl = int(stats["total_dl"])
+        man.commit(
+            "append_begin", f"gen={gen}", input_fp=_input_fingerprint(src),
+            base_N=base_n, base_total_dl=base_total_dl, key=idempotency_key,
+        )
 
     unit = f"gen={gen}"
 
@@ -233,12 +295,14 @@ def append_index(
         )
         man.commit("append_postings", unit, seconds=round(time.time() - t0, 3))
 
-    # ---- new global stats (needed for the delta blocks' enc_avgdl) -----------
+    # ---- new global stats (needed for the delta blocks' enc_avgdl).
+    # Computed from the begin-time BASE values, not the current stats.json
+    # — identical on first run and on any resume (idempotent).
     d = delta_turns.agg(
         F.count("*").alias("n"), F.sum("dl").alias("dl")
     ).collect()[0]
-    new_n = int(stats["N"]) + int(d["n"])
-    new_total_dl = int(stats["total_dl"]) + int(d["dl"])
+    new_n = base_n + int(d["n"])
+    new_total_dl = base_total_dl + int(d["dl"])
     new_avgdl = new_total_dl / new_n
 
     # ---- delta blocks ---------------------------------------------------------
@@ -270,6 +334,21 @@ def append_index(
             "n_terms": n_terms,
             "dict_gen": gen,
             "gens": sorted(set(stats.get("gens", [0])) | {gen}),
+            # legacy (pre-post_gens) indexes: their live postings gens are
+            # the data gens, plus the compacted gen if one superseded them
+            "post_gens": sorted(
+                set(
+                    stats.get(
+                        "post_gens",
+                        (
+                            [stats["compacted_gen"]]
+                            if "compacted_gen" in stats
+                            else stats.get("gens", [0])
+                        ),
+                    )
+                )
+                | {gen}
+            ),
         }
     )
     write_stats(index_dir, stats)
@@ -301,10 +380,23 @@ def compact_index(spark: SparkSession, index_dir: str) -> Manifest:
     stale in them).  Parquet-format only: Iceberg deployments use the
     engine-side rewrite_data_files maintenance instead.
 
-    Crash safety: the new generation G is strictly larger than every
-    existing one, so the rewrite never reads what it writes; old dirs are
-    removed only after both tables are fully written, and a re-run after
-    any crash point compacts whatever generations remain."""
+    Crash safety (ADVICE r3): the LIVE generation set is stats.post_gens
+    (what the query path partition-prunes to), never a directory listing —
+    a half-written gen dir from a crashed run is invisible to queries and
+    is deleted (not re-compacted) on the next run.  Sequence:
+
+      0. refuse while an append is pending (its half-written slices would
+         be folded in) — resume/finish the append first;
+      1. delete on-disk gen dirs NOT in post_gens (orphans of a crashed
+         compact — possibly partial, never read);
+      2. pick G strictly larger than every gen ever used (a reused number
+         would overwrite a live slice — same invariant as append);
+      3. write postings+blocks gen=G from exactly the post_gens inputs;
+      4. COMMIT: write_stats(post_gens=[G]) + manifest entry — queries now
+         read only G;
+      5. cleanup superseded dirs + stale dict snapshots (idempotent: a
+         crash here leaves extra dirs that step 1 removes next time and
+         that queries never read)."""
     man = Manifest.load(index_dir)
     stats = read_stats(index_dir)
     fmt = format_by_name(stats.get("table_format", "parquet"))
@@ -313,17 +405,37 @@ def compact_index(spark: SparkSession, index_dir: str) -> Manifest:
             "compact_index supports the parquet format; Iceberg tables "
             "compact via Iceberg's own rewrite_data_files maintenance"
         )
+    begun = [e for e in man.entries if e["stage"] == "append_begin"]
+    done = {e["unit"] for e in man.entries if e["stage"] == "append"}
+    if [e for e in begun if e["unit"] not in done]:
+        raise ValueError(
+            "compact_index: an append is pending (begin committed, append "
+            "not) — resume it to completion (or discard its manifest "
+            "entry) before compacting"
+        )
     t0 = time.time()
     post_root = table_path(index_dir, "postings")
     block_root = table_path(index_dir, "blocks")
-    old_post = sorted(
-        d for d in os.listdir(post_root) if d.startswith("gen=")
+    live = sorted(
+        int(g)
+        for g in stats.get(
+            "post_gens",
+            (
+                [stats["compacted_gen"]]
+                if "compacted_gen" in stats
+                else sorted(_gen_dirs(post_root))
+            ),
+        )
     )
-    gen = 1 + max(int(d.removeprefix("gen=")) for d in old_post)
+    gen = 1 + max(_all_known_gens(man, stats, index_dir, fmt))
+    for root in (post_root, block_root):
+        for g, path in _gen_dirs(root).items():
+            if g not in live:
+                shutil.rmtree(path, ignore_errors=True)
     avgdl = float(stats["avgdl"])
 
     postings = spark.read.option("basePath", post_root).parquet(
-        *[os.path.join(post_root, d) for d in old_post]
+        *[os.path.join(post_root, f"gen={g}") for g in live]
     )
     fmt.write(
         postings.withColumn("gen", F.lit(gen))
@@ -350,23 +462,27 @@ def compact_index(spark: SparkSession, index_dir: str) -> Manifest:
         partition_by=["gen", "chunk", "bucket"],
         subunit=f"gen={gen}/chunk=0",
     )
-    # drop superseded generations (postings/blocks) and stale dict snapshots
-    for d in old_post:
-        shutil.rmtree(os.path.join(post_root, d), ignore_errors=True)
-    for d in list(os.listdir(block_root)):
-        if d.startswith("gen=") and int(d.removeprefix("gen=")) != gen:
-            shutil.rmtree(os.path.join(block_root, d), ignore_errors=True)
+    # COMMIT the new generation before any destructive cleanup: from here
+    # every query answers from gen alone, whatever else is on disk
+    stats["gens"] = sorted(
+        {int(x.removeprefix("gen=")) for x in os.listdir(table_path(index_dir, "turns")) if x.startswith("gen=")}
+    )
+    stats["post_gens"] = [gen]
+    stats["compacted_gen"] = gen
+    write_stats(index_dir, stats)
+    man.commit(
+        "compact", f"gen={gen}", supersedes=live,
+        seconds=round(time.time() - t0, 3),
+    )
+    # cleanup superseded generations + stale dict snapshots
+    for root in (post_root, block_root):
+        for g, path in _gen_dirs(root).items():
+            if g != gen:
+                shutil.rmtree(path, ignore_errors=True)
     dict_root = table_path(index_dir, "term_dict")
     for d in list(os.listdir(dict_root)):
         if d.startswith("gen=") and int(d.removeprefix("gen=")) != int(
             stats["dict_gen"]
         ):
             shutil.rmtree(os.path.join(dict_root, d), ignore_errors=True)
-
-    stats["gens"] = sorted(
-        {int(x.removeprefix("gen=")) for x in os.listdir(table_path(index_dir, "turns")) if x.startswith("gen=")}
-    )
-    stats["compacted_gen"] = gen
-    write_stats(index_dir, stats)
-    man.commit("compact", f"gen={gen}", seconds=round(time.time() - t0, 3))
     return man

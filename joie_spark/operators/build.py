@@ -531,6 +531,11 @@ def build_from_turns(
                 # are kept as snapshots); gens = data generations present
                 "dict_gen": 0,
                 "gens": [0],
+                # live postings/blocks generations: the query path
+                # partition-prunes to exactly these, so a half-written
+                # generation (crashed append/compact) is invisible until
+                # its stats commit lands (ADVICE r3)
+                "post_gens": [0],
             },
         )
         man.commit("stats", N=agg["n"], seconds=round(time.time() - t0, 3))

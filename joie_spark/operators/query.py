@@ -148,7 +148,9 @@ class Index:
         # table format pinned at build time (stats.json); parquet default
         self.fmt = format_by_name(self.stats.get("table_format", "parquet"))
         self.turns = self.fmt.read(spark, index_dir, "turns")
-        self.postings = self.fmt.read(spark, index_dir, "postings")
+        self.postings = self._live_gens(
+            self.fmt.read(spark, index_dir, "postings")
+        )
         # each term_dict generation is a COMPLETE dictionary snapshot;
         # stats.dict_gen points at the live one (partition-pruned filter)
         td = self.fmt.read(spark, index_dir, "term_dict")
@@ -164,10 +166,21 @@ class Index:
             self._doc_meta = self.fmt.read(self.spark, self.index_dir, "doc_meta")
         return self._doc_meta
 
+    def _live_gens(self, df: DataFrame) -> DataFrame:
+        """Partition-prune postings/blocks to the COMMITTED generations
+        (stats.post_gens).  A generation a crashed append/compact half
+        wrote is not in the set until its stats commit lands, so queries
+        never read partial slices (ADVICE r3).  Pre-post_gens indexes
+        carry no set → read everything, the legacy behavior."""
+        pg = self.stats.get("post_gens")
+        if pg is None or "gen" not in df.columns:
+            return df
+        return df.where(F.col("gen").isin([int(g) for g in pg]))
+
     @property
     def blocks(self) -> DataFrame:
         if self._blocks is None:
-            b = self.fmt.read(self.spark, self.index_dir, "blocks")
+            b = self._live_gens(self.fmt.read(self.spark, self.index_dir, "blocks"))
             if "enc_avgdl" not in b.columns:
                 # pre-append-format index: all blocks were encoded with the
                 # index's (only) avgdl — the WAND ub correction is then 1

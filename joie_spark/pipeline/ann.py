@@ -231,6 +231,186 @@ def lsh_bucketed_topk(
 
 
 # ---------------------------------------------------------------------------
+# SQL-portable hyperplane LSH (DuckDB-oracle-checkable, VERDICT r3 item 6)
+
+
+def portable_hyperplane_components(n_bits: int, dim: int) -> np.ndarray:
+    """±1 hyperplane matrix derived from md5 parity — implementation-
+    independent (hashlib here, md5() in any SQL engine), so the SAME
+    matrix is reproducible on both sides of an oracle comparison.
+    H[p, j] = +1 iff the last hex digit of md5(f"{p}:{j}") is even."""
+    import hashlib
+
+    H = np.empty((n_bits, dim), dtype=np.float64)
+    for p in range(n_bits):
+        for j in range(dim):
+            d = hashlib.md5(f"{p}:{j}".encode()).hexdigest()
+            H[p, j] = 1.0 if int(d[-1], 16) % 2 == 0 else -1.0
+    return H
+
+
+def _portable_sig_terms(H_row: np.ndarray, elem: "callable") -> list[str]:
+    return [
+        ("+ " if h > 0 else "- ") + elem(j + 1) for j, h in enumerate(H_row)
+    ]
+
+
+def portable_signature_sql(H: np.ndarray, vec_sql: str, elem_fmt: str) -> str:
+    """Signature as a SQL arithmetic string: per bit p, the LEFT-ASSOC
+    sequential sum 0.0 ± e[1] ± e[2] … (the exact float64 sequence on any
+    engine that folds left-to-right, which both Spark SQL and DuckDB do
+    for a chain of binary +/-), sign-tested into bit p.  `elem_fmt` is a
+    format string producing the 1-based element access, e.g.
+    'CAST(element_at({v}, {i}) AS DOUBLE)' (Spark) or
+    '{v}[{i}]::DOUBLE' (DuckDB)."""
+    n_bits, dim = H.shape
+    bits = []
+    for p in range(n_bits):
+        s = "0.0 " + " ".join(
+            _portable_sig_terms(H[p], lambda i: elem_fmt.format(v=vec_sql, i=i))
+        )
+        bits.append(f"(CASE WHEN ({s}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def lsh_bucketed_topk_portable(
+    emb: DataFrame, query_vec: list[float], k: int = 10, n_bits: int = 4
+) -> DataFrame:
+    """Single-bucket hyperplane ANN on the md5-parity hyperplanes — the
+    oracle-checkable twin of lsh_bucketed_topk (same pipeline shape:
+    signature → bucket equi-filter → exact cosine re-rank), with every
+    step expressible in portable SQL.  Recall < 1 by construction, like
+    the fast path; correctness (vs the DuckDB oracle) is the point."""
+    dim = len(query_vec)
+    H = portable_hyperplane_components(n_bits, dim)
+    sig_sql = portable_signature_sql(
+        H, "embedding", "CAST(element_at({v}, {i}) AS DOUBLE)"
+    )
+    # query signature via the same left-assoc float64 sequence
+    qsig = 0
+    for p in range(n_bits):
+        s = 0.0
+        for j in range(dim):
+            s = s + float(query_vec[j]) if H[p, j] > 0 else s - float(query_vec[j])
+        if s >= 0:
+            qsig |= 1 << p
+    cand = emb.where(F.expr(sig_sql) == F.lit(int(qsig)))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_expr(F.col("embedding"), q)
+    return (
+        cand.select("vec_id", sim.alias("sim_raw"))
+        .orderBy(F.desc("sim_raw"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("sim_raw", 4).alias("cos"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# write-once materialized buckets (the 100 TB shape, VERDICT r3 item 4)
+
+ANN_META = "_ann_meta.json"
+
+
+def _write_ann_meta(path: str, meta: dict) -> None:
+    import json
+    import os
+
+    with open(os.path.join(path, ANN_META), "w") as f:
+        json.dump(meta, f)
+
+
+def read_ann_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, ANN_META)) as f:
+        return json.load(f)
+
+
+def materialize_lsh_buckets(
+    emb: DataFrame, path: str, n_bits: int = 8, col: str = "embedding",
+    dim: int | None = None,
+) -> str:
+    """Write the corpus ONCE with its signature as a hive partition
+    column: every subsequent query's `bucket IN (probe set)` predicate is
+    PARTITION PRUNING — only the probed buckets' files are opened, the
+    per-query full-corpus signature pass disappears.  This is the scale
+    deployment shape; lsh_bucketed_topk stays for ad-hoc queries over
+    unmaterialized tables.  n_bits/dim are pinned in _ann_meta.json so
+    the query side reconstructs the identical hyperplanes
+    (hyperplane_components is deterministic)."""
+    sigs = add_signatures(emb, n_bits=n_bits, col=col, dim=dim)
+    if dim is None:
+        dim = len(emb.select(col).first()[0])
+    sigs.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    _write_ann_meta(path, {"kind": "lsh", "n_bits": n_bits, "dim": dim})
+    return path
+
+
+def lsh_bucketed_topk_materialized(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """ANN over a materialize_lsh_buckets table: probe-bucket filter
+    (partition-pruned scan) + exact cosine re-rank.  Bit-identical result
+    contract to lsh_bucketed_topk on the same corpus/params."""
+    meta = read_ann_meta(path)
+    H = hyperplane_components(spark, meta["n_bits"], meta["dim"])
+    qsig = signature_of(query_vec, H)
+    buckets = _probe_buckets(qsig, meta["n_bits"], probe_hamming)
+    cand = spark.read.parquet(path).where(F.col("bucket").isin(buckets))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_expr(F.col("embedding"), q)
+    return (
+        cand.select("vec_id", sim.alias("sim_raw"))
+        .orderBy(F.desc("sim_raw"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("sim_raw", 4).alias("cos"))
+    )
+
+
+def materialize_ivf_cells(
+    emb: DataFrame, path: str, C: np.ndarray, col: str = "embedding"
+) -> str:
+    """IVF twin of materialize_lsh_buckets: corpus written once,
+    partitioned by cell; centroids pinned in _ann_meta.json so queries
+    probe the same quantizer the table was written with."""
+    add_ivf_cells(emb, C, col=col).write.mode("overwrite").partitionBy(
+        "ivf_cell"
+    ).parquet(path)
+    _write_ann_meta(path, {"kind": "ivf", "centroids": C.tolist()})
+    return path
+
+
+def ivf_topk_materialized(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    meta = read_ann_meta(path)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(C @ qn))[: int(nprobe)].tolist()
+    cand = spark.read.parquet(path).where(
+        F.col("ivf_cell").isin([int(c) for c in probe])
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_expr(F.col("embedding"), qcol)
+    return (
+        cand.select("vec_id", sim.alias("sim_raw"))
+        .orderBy(F.desc("sim_raw"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("sim_raw", 4).alias("cos"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 
 

@@ -67,14 +67,33 @@ def append_stream(
     Returns the started StreamingQuery.  With
     trigger_available_now=True the query drains everything currently
     available and stops — the incremental-batch deployment shape (run it
-    from cron/Airflow); pass False for an always-on micro-batch stream."""
+    from cron/Airflow); pass False for an always-on micro-batch stream.
+
+    Micro-batch sizing (measured, BENCH/APPEND_LATENCY.md): every
+    generation pays a FIXED ~6-stage job-chain cost regardless of delta
+    size (metrics collects are off on this path), so tiny high-frequency
+    batches drown in per-generation latency while the marginal per-turn
+    cost is small.  Size batches so the fixed cost amortizes — thousands
+    of turns per trigger (maxFilesPerTrigger / a processing-time trigger
+    of minutes, not seconds) — and run compact_index periodically to
+    collapse the accumulated generations and re-tighten block-max
+    bounds."""
     from ..operators.append import append_index
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.limit(1).count()
-        if rows == 0:
+        if batch_df.isEmpty():
             return
-        append_index(batch_df.sparkSession, batch_df, index_dir)
+        # batch_id as the idempotency key: a batch replayed AFTER its
+        # append fully committed (crash in the window between the append
+        # manifest commit and the streaming checkpoint write) no-ops
+        # instead of starting a new generation and tripping the
+        # conv-disjointness check on every restart (ADVICE r3).  A batch
+        # replayed after a PARTIAL append resumes its pending generation
+        # (append_index's pending-gen logic), as before.
+        append_index(
+            batch_df.sparkSession, batch_df, index_dir,
+            collect_metrics=False, idempotency_key=f"stream-batch={batch_id}",
+        )
 
     w = (
         stream_df.writeStream.foreachBatch(_sink)

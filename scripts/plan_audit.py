@@ -97,11 +97,47 @@ def main() -> None:
     # the blocks scan itself must be bucket-partition-pruned, term_id
     # row-group-pruned, and read ONLY the decode columns (no positions,
     # no block-max metadata on the direct path)
+    # (r4: the live-generation filter joined the partition predicates, so
+    # the line is now "[isnotnull(gen), (gen = 0), bucket IN (...)]" —
+    # require bucket pruning on SOME PartitionFilters line plus the gen
+    # live-set prune, rather than a fixed prefix)
     results["batch_blocks_scan_pruned"] = (
-        "PartitionFilters: [bucket" in plan_b2
+        any(
+            "PartitionFilters: [" in ln and "bucket" in ln and "gen" in ln
+            for ln in plan_b2.splitlines()
+        )
         and "In(term_id" in plan_b2
         and "positions" not in plan_b2
     )
+
+    # 5b. where-filtered phrase-free single query in auto mode runs on the
+    # compressed blocks table (VERDICT r3 item 3), postings untouched
+    plan_wf = explain_str(eng.search("roll AND dice", k=5, where="role = 'user'"))
+    results["auto_where_filtered_on_blocks"] = (
+        "docids" in plan_wf and "/postings" not in plan_wf
+    )
+
+    # 5c. ANN write-once scale path (VERDICT r3 item 4): the materialized
+    # bucket/cell tables' probe filters are PARTITION pruning — a query
+    # opens only its probed buckets' files, never re-signatures the corpus
+    import joie_spark.pipeline.ann as ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    corpus = emb.where("vec_id != 0")
+    mat_lsh = tempfile.mkdtemp(prefix="joie_audit_lsh_")
+    ann.materialize_lsh_buckets(corpus, mat_lsh, n_bits=4)
+    plan_m = explain_str(
+        ann.lsh_bucketed_topk_materialized(spark, mat_lsh, qv, k=5, probe_hamming=1)
+    )
+    results["ann_bucket_partition_pruned"] = "PartitionFilters: [bucket" in plan_m
+    mat_ivf = tempfile.mkdtemp(prefix="joie_audit_ivf_")
+    C = ann.kmeans_centroids(corpus, k=8)
+    ann.materialize_ivf_cells(corpus, mat_ivf, C)
+    plan_i = explain_str(
+        ann.ivf_topk_materialized(spark, mat_ivf, qv, k=5, nprobe=2)
+    )
+    results["ann_ivf_partition_pruned"] = "PartitionFilters: [ivf_cell" in plan_i
 
     # 6. no cross join in any headline bench query (VERDICT r1: the bench
     # must measure the scale paths, not the sampled pairwise oracles)

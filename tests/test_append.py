@@ -196,6 +196,193 @@ def test_wand_sound_under_extreme_avgdl_drift(spark, t1_rows, tmp_path):
         assert got_f == [(a, b, c) for a, b, c in want], q
 
 
+def _split3(t1_rows):
+    convs = sorted({r["conv_id"] for r in t1_rows})
+    s1, s2 = set(convs[:20]), set(convs[20:35])
+    a = [r for r in t1_rows if r["conv_id"] in s1]
+    b1 = [r for r in t1_rows if r["conv_id"] in s2]
+    b2 = [r for r in t1_rows if r["conv_id"] not in s1 | s2]
+    return a, b1, b2
+
+
+def test_append_after_compact_preserves_index(spark, t1_rows, tmp_path):
+    """ADVICE r3 (high): the append AFTER a compaction must pick a fresh
+    generation — reusing the compacted gen number would overwrite the
+    full compacted postings/blocks with delta-only data (silent loss of
+    all pre-append data).  build → append → compact → append must equal
+    a full rebuild, on every query path."""
+    from joie_spark.engine import Engine
+    from joie_spark.sources.tables import read_stats
+
+    a, b1, b2 = _split3(t1_rows)
+    kw = dict(n_buckets=8, docs_per_block=8, block_chunks=1)
+    d_inc = str(tmp_path / "ix_inc")
+    eng = Engine.build(spark, spark.createDataFrame(a), d_inc, **kw)
+    eng.append(spark.createDataFrame(b1))
+    eng.compact()
+    compacted_gen = read_stats(d_inc)["compacted_gen"]
+    eng.append(spark.createDataFrame(b2))
+    # the new delta landed in a generation the compaction never used
+    assert read_stats(d_inc)["dict_gen"] > compacted_gen
+    assert sorted(read_stats(d_inc)["post_gens"]) == sorted(
+        {compacted_gen, read_stats(d_inc)["dict_gen"]}
+    )
+    d_full = str(tmp_path / "ix_full")
+    full = Engine.build(spark, spark.createDataFrame(t1_rows), d_full, **kw)
+    assert full.index.stats["N"] == eng.index.stats["N"]
+    assert full.index.stats["avgdl"] == eng.index.stats["avgdl"]
+    for q in QUERIES:
+        assert _by_conv(full, q, mode="exhaustive") == _by_conv(
+            eng, q, mode="exhaustive"
+        ), q
+        assert _by_conv(full, q) == _by_conv(eng, q), q  # auto (WAND/blocks)
+    # and a second compact + append keeps converging
+    eng.compact()
+    for q in QUERIES[:2]:
+        assert _by_conv(full, q) == _by_conv(eng, q), q
+
+
+def test_compact_rerun_after_crash_no_duplication(spark, t1_rows, tmp_path, monkeypatch):
+    """ADVICE r3 (medium): a compact that crashed after (partially or
+    fully) writing its target generation must NOT feed that generation
+    back into the next compaction — that would duplicate every posting.
+    Also: queries between the crash and the re-run never see the
+    uncommitted generation (post_gens pruning)."""
+    from joie_spark.engine import Engine
+    from joie_spark.sources.tables import ParquetManifestFormat
+
+    a, b1, _b2 = _split3(t1_rows)
+    rows = a + b1
+    d = str(tmp_path / "ix_crashc")
+    eng = Engine.build(
+        spark, spark.createDataFrame(a), d, n_buckets=8, docs_per_block=8,
+        block_chunks=1,
+    )
+    eng.append(spark.createDataFrame(b1))
+    want = {q: _by_conv(eng, q, mode="exhaustive") for q in QUERIES[:3]}
+    n_postings = eng.index.postings.count()
+
+    real_write = ParquetManifestFormat.write
+
+    def failing_write(self, df, index_dir, table, partition_by=(), subunit=None):
+        if table == "blocks":
+            # postings gen already fully written at this point
+            raise RuntimeError("injected crash mid-compact")
+        return real_write(self, df, index_dir, table, partition_by, subunit)
+
+    monkeypatch.setattr(ParquetManifestFormat, "write", failing_write)
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.compact()
+    monkeypatch.setattr(ParquetManifestFormat, "write", real_write)
+
+    # crashed state: the orphan gen dir exists but queries must not read it
+    from joie_spark.engine import Engine as E
+
+    eng_crashed = E(spark, d)
+    assert eng_crashed.index.postings.count() == n_postings
+    for q in QUERIES[:3]:
+        assert _by_conv(eng_crashed, q, mode="exhaustive") == want[q], q
+
+    eng.compact()  # re-run compacts the COMMITTED gens only
+    eng = E(spark, d)
+    assert eng.index.postings.count() == n_postings  # no duplication
+    for q in QUERIES[:3]:
+        assert _by_conv(eng, q, mode="exhaustive") == want[q], q
+        assert _by_conv(eng, q) == want[q], q
+
+
+def test_append_stats_idempotent_on_resume(spark, t1_rows, tmp_path):
+    """ADVICE r3 (low): a resume that replays the final stats stage (crash
+    after write_stats, before the append manifest commit) must write the
+    SAME stats, not re-add the delta."""
+    import json
+
+    from joie_spark.engine import Engine
+    from joie_spark.operators.append import append_index
+    from joie_spark.sources.tables import MANIFEST, read_stats
+
+    a, b1, _ = _split3(t1_rows)
+    d = str(tmp_path / "ix_stats")
+    eng = Engine.build(
+        spark, spark.createDataFrame(a), d, n_buckets=8, docs_per_block=8,
+        block_chunks=1,
+    )
+    eng.append(spark.createDataFrame(b1))
+    want = read_stats(d)
+    # simulate the crash window: drop the final 'append' commit so the
+    # next run resumes gen=1 with stats.json ALREADY updated
+    mpath = os.path.join(d, MANIFEST)
+    entries = [json.loads(ln) for ln in open(mpath) if ln.strip()]
+    assert entries[-1]["stage"] == "append"
+    with open(mpath, "w") as f:
+        for e in entries[:-1]:
+            f.write(json.dumps(e) + "\n")
+    append_index(spark, spark.createDataFrame(b1), d)
+    got = read_stats(d)
+    assert got["N"] == want["N"]
+    assert got["total_dl"] == want["total_dl"]
+    assert got["avgdl"] == want["avgdl"]
+    assert got["post_gens"] == want["post_gens"]
+
+
+def test_append_idempotency_key_noop_on_replay(spark, t1_rows, tmp_path):
+    """ADVICE r3 (low, streaming): replaying a COMMITTED append with the
+    same idempotency key must no-op — without the key the same input
+    would trip the conv-disjointness ValueError forever."""
+    from joie_spark.engine import Engine
+    from joie_spark.operators.append import append_index
+    from joie_spark.sources.tables import Manifest, read_stats
+
+    a, b1, _ = _split3(t1_rows)
+    d = str(tmp_path / "ix_idem")
+    Engine.build(
+        spark, spark.createDataFrame(a), d, n_buckets=8, docs_per_block=8,
+        block_chunks=1,
+    )
+    delta = spark.createDataFrame(b1)
+    append_index(spark, delta, d, idempotency_key="stream-batch=7")
+    want = read_stats(d)
+    n_appends = sum(
+        1 for e in Manifest.load(d).entries if e["stage"] == "append"
+    )
+    append_index(spark, delta, d, idempotency_key="stream-batch=7")  # replay
+    assert read_stats(d) == want
+    assert (
+        sum(1 for e in Manifest.load(d).entries if e["stage"] == "append")
+        == n_appends
+    )
+    # a genuinely NEW batch with a new key still appends normally
+    with pytest.raises(ValueError, match="disjoint"):
+        append_index(spark, delta, d, idempotency_key="stream-batch=8")
+
+
+def test_compact_refuses_pending_append(spark, t1_rows, tmp_path, monkeypatch):
+    from joie_spark.engine import Engine
+    from joie_spark.sources.tables import ParquetManifestFormat
+
+    a, b1, _ = _split3(t1_rows)
+    d = str(tmp_path / "ix_pend")
+    eng = Engine.build(
+        spark, spark.createDataFrame(a), d, n_buckets=8, docs_per_block=8,
+        block_chunks=1,
+    )
+    real_write = ParquetManifestFormat.write
+
+    def failing_write(self, df, index_dir, table, partition_by=(), subunit=None):
+        if table == "postings" and subunit and subunit.startswith("gen="):
+            raise RuntimeError("injected")
+        return real_write(self, df, index_dir, table, partition_by, subunit)
+
+    monkeypatch.setattr(ParquetManifestFormat, "write", failing_write)
+    with pytest.raises(RuntimeError):
+        eng.append(spark.createDataFrame(b1))
+    monkeypatch.setattr(ParquetManifestFormat, "write", real_write)
+    with pytest.raises(ValueError, match="pending"):
+        eng.compact()
+    eng.append(spark.createDataFrame(b1))  # finish the append
+    eng.compact()  # now fine
+
+
 def test_compaction_preserves_results(appended, spark, t1_rows, tmp_path_factory):
     from joie_spark.engine import Engine
 

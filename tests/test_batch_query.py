@@ -161,3 +161,27 @@ def test_turn_idx_range_validated(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="turn_idx"):
         build_index(spark, df, str(tmp_path / "bad"), n_buckets=4)
+
+
+def test_auto_where_filtered_single_uses_blocks(t1_engine):
+    """VERDICT r3 item 3: a turn-filtered phrase-free single query in auto
+    mode must (a) stay rank-identical to the exhaustive path and (b) run
+    on the compressed blocks table, not the fat postings scan."""
+    for q in ["roll OR dice", "roll AND dice", "the"]:
+        auto = t1_engine.search(q, k=10, where="role = 'user'")
+        got = [(r["doc_id"], r["turn_idx"], r["score"]) for r in auto.collect()]
+        assert got == _single(t1_engine, q, where="role = 'user'"), q
+    plan = t1_engine.search(
+        "roll AND dice", k=10, where="role = 'user'"
+    )._jdf.queryExecution().explainString(
+        t1_engine.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "docids" in plan          # compressed blocks columns
+    assert "/postings" not in plan   # postings table untouched
+
+
+def test_wand_mode_rejects_turn_filter(t1_engine):
+    with pytest.raises(ValueError, match="turn filter"):
+        t1_engine.search("roll OR dice", mode="wand", where="role = 'user'")

@@ -352,3 +352,78 @@ def test_multimodal_feature_plumbing(spark):
     # deterministic features
     again = multimodal.extract_features(media, dim=8).collect()
     assert {tuple(r["feature"]) for r in again} == {tuple(r["feature"]) for r in feats}
+
+
+def test_materialized_lsh_matches_inmemory_and_prunes(spark, tmp_path):
+    """Write-once scale path (VERDICT r3 item 4): the materialized-bucket
+    query must return exactly what the per-query signature pass returns,
+    and its probe filter must be PARTITION pruning, not a post-scan
+    filter."""
+    import random
+
+    rng = random.Random(13)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = rows[0][1]
+    corpus = emb.where(F.col("vec_id") != 0)
+
+    path = str(tmp_path / "lsh_buckets")
+    ann.materialize_lsh_buckets(corpus, path, n_bits=4)
+    for ph in (0, 1):
+        want = ann.lsh_bucketed_topk(
+            corpus, qv, k=10, n_bits=4, probe_hamming=ph
+        ).collect()
+        got = ann.lsh_bucketed_topk_materialized(
+            spark, path, qv, k=10, probe_hamming=ph
+        ).collect()
+        assert got == want, ph
+    df = ann.lsh_bucketed_topk_materialized(spark, path, qv, k=10)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [bucket" in plan
+
+
+def test_materialized_ivf_matches_inmemory_and_prunes(spark, tmp_path):
+    import random
+
+    rng = random.Random(17)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = rows[0][1]
+    corpus = emb.where(F.col("vec_id") != 0)
+    C = ann.kmeans_centroids(corpus, k=8)
+
+    path = str(tmp_path / "ivf_cells")
+    ann.materialize_ivf_cells(corpus, path, C)
+    want = ann.ivf_topk(corpus, qv, C, k=10, nprobe=3).collect()
+    got = ann.ivf_topk_materialized(spark, path, qv, k=10, nprobe=3).collect()
+    assert got == want
+    df = ann.ivf_topk_materialized(spark, path, qv, k=10, nprobe=3)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [ivf_cell" in plan
+
+
+def test_portable_lsh_topk_sane(spark):
+    """The md5-parity portable ANN twin: results are a correctly-ranked
+    subset of the exact scan (its value parity vs DuckDB is driver-checked
+    via the ann_lsh_bucketed_portable oracle entry)."""
+    import random
+
+    rng = random.Random(23)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(150)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = rows[0][1]
+    corpus = emb.where(F.col("vec_id") != 0)
+    exact = {
+        r["vec_id"]: r["cos"]
+        for r in ann.cosine_topk(corpus, qv, k=149).collect()
+    }
+    got = ann.lsh_bucketed_topk_portable(corpus, qv, k=10, n_bits=3).collect()
+    assert got  # 8 buckets over 149 vectors: the query bucket is non-empty
+    coss = [r["cos"] for r in got]
+    assert coss == sorted(coss, reverse=True)
+    for r in got:
+        assert exact[r["vec_id"]] == r["cos"]

@@ -173,3 +173,40 @@ def test_stream_turn_stats_windows(spark, tmp_path):
         (0, "assistant"): (1, 2),
         (1, "user"): (1, 1),
     }
+
+
+def test_append_stream_records_batch_idempotency_keys(spark, t1_rows, tmp_path):
+    """The sink must tag each generation with its micro-batch id: that key
+    is what makes a batch replayed AFTER a committed append no-op instead
+    of wedging the stream on the conv-disjointness check (ADVICE r3; the
+    no-op behavior itself is unit-tested in test_append.py)."""
+    from joie_spark.engine import Engine
+    from joie_spark.sources.tables import Manifest
+
+    a, b, _convs = _split_rows(t1_rows)
+    ix = str(tmp_path / "ix")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    Engine.build(
+        spark, spark.createDataFrame(a), ix, n_buckets=8, docs_per_block=8,
+        block_chunks=1,
+    )
+    from pyspark.sql import functions as F
+
+    (
+        spark.createDataFrame(b)
+        .select(
+            "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
+            "role", "text", "tool", "ts",
+        )
+        .write.mode("append").parquet(src)
+    )
+    stream = spark.readStream.schema(TURN_FIELDS).parquet(src)
+    q = append_stream(stream, ix, ckpt)
+    q.awaitTermination(120)
+    begins = [
+        e for e in Manifest.load(ix).entries if e["stage"] == "append_begin"
+    ]
+    assert begins and all(
+        str(e.get("key", "")).startswith("stream-batch=") for e in begins
+    )
