@@ -39,9 +39,23 @@ class Engine:
         self.index = Q.Index(self.spark, self.index.index_dir)
         return self
 
+    def delete(self, conv_ids: list[str] | DataFrame, **kw) -> "Engine":
+        """Tombstone whole conversations — afterwards every query path
+        answers EXACTLY like a rebuild over the remaining corpus (scores
+        bit-identical; stats and df are decremented, candidates anti-join
+        the deny-list — operators/delete.py).  delete + append of the
+        same conv_id = an exact UPDATE.  compact() physically purges
+        tombstoned postings/blocks."""
+        from .operators.delete import delete_convs
+
+        delete_convs(self.spark, conv_ids, self.index.index_dir, **kw)
+        self.index = Q.Index(self.spark, self.index.index_dir)
+        return self
+
     def compact(self) -> "Engine":
         """Rewrite postings+blocks into one generation (drops superseded
-        slices, re-encodes block-max metadata with the live avgdl)."""
+        slices, purges tombstoned docs, re-encodes block-max metadata
+        with the live avgdl)."""
         from .operators.append import compact_index
 
         compact_index(self.spark, self.index.index_dir)
@@ -209,8 +223,18 @@ class Engine:
         return [lut[w][0] if w in lut else 0 for w in words]
 
     def get_doc(self, doc_id: int) -> DataFrame:
-        """All turns of a conversation (Database::get_doc, lib.rs:104-110)."""
-        return self.index.turns.where(F.col("doc_id") == doc_id).orderBy("turn_idx")
+        """All turns of a conversation (Database::get_doc, lib.rs:104-110).
+        Deleted conversations return no rows (doc_ids of deleted docs are
+        dead handles, matching a rebuild where they don't exist)."""
+        out = self.index.turns.where(F.col("doc_id") == doc_id)
+        from .operators.delete import tombstone_docs
+
+        tomb = tombstone_docs(self.spark, self.index.fmt, self.index.index_dir)
+        if tomb is not None:
+            out = out.join(
+                F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti"
+            )
+        return out.orderBy("turn_idx")
 
     def explain(self, query: str, where: str | None = None) -> str:
         return self.search(query, where=where)._jdf.queryExecution().explainString(

@@ -106,12 +106,12 @@ def _all_known_gens(man: Manifest, stats: dict, index_dir: str, fmt) -> set[int]
     gens.update(int(g) for g in stats.get("post_gens", []))
     gens.add(int(stats.get("compacted_gen", 0)))
     for e in man.entries:
-        if e["stage"] in ("append_begin", "append", "compact") and str(
-            e.get("unit", "")
-        ).startswith("gen="):
+        # any gen-addressed entry of any stage (append/delete/compact,
+        # begun or done)
+        if str(e.get("unit", "")).startswith("gen="):
             gens.add(int(e["unit"].removeprefix("gen=")))
     if fmt.name == "parquet":
-        for table in ("postings", "blocks", "turns", "term_dict"):
+        for table in ("postings", "blocks", "turns", "term_dict", "tombstones"):
             gens.update(_gen_dirs(table_path(index_dir, table)))
     return gens
 
@@ -182,24 +182,38 @@ def append_index(
         base_n = int(pending[-1].get("base_N", stats["N"]))
         base_total_dl = int(pending[-1].get("base_total_dl", stats["total_dl"]))
     else:
+        from .delete import _pending as _del_pending
+        from .delete import tombstone_docs
+
+        if _del_pending(man, "delete"):
+            raise ValueError(
+                "append_index: a delete is pending — resume it to "
+                "completion first"
+            )
         gen = 1 + max(_all_known_gens(man, stats, index_dir, fmt))
         validate_turn_idx(src)
         # disjointness contract (same as the shard merge): appended
-        # conv_ids must be new
+        # conv_ids must be new — or tombstoned (delete + append of the
+        # same conv_id = an exact UPDATE, operators/delete.py)
+        live_convs = fmt.read(spark, index_dir, "doc_meta").select(
+            "doc_id", "conv_id"
+        )
+        tomb = tombstone_docs(spark, fmt, index_dir)
+        if tomb is not None:
+            live_convs = live_convs.join(
+                tomb.select("doc_id"), "doc_id", "left_anti"
+            )
         clash = (
             src.select("conv_id")
             .distinct()
-            .join(
-                fmt.read(spark, index_dir, "doc_meta").select("conv_id"),
-                "conv_id",
-                "left_semi",
-            )
+            .join(live_convs.select("conv_id"), "conv_id", "left_semi")
             .count()
         )
         if clash:
             raise ValueError(
-                f"append input shares {clash} conv_id(s) with the index; "
-                "appends must be disjoint (use tombstoning/rebuild for updates)"
+                f"append input shares {clash} LIVE conv_id(s) with the "
+                "index; appends must be disjoint (delete the conv first "
+                "to update it)"
             )
         base_n = int(stats["N"])
         base_total_dl = int(stats["total_dl"])
@@ -405,14 +419,15 @@ def compact_index(spark: SparkSession, index_dir: str) -> Manifest:
             "compact_index supports the parquet format; Iceberg tables "
             "compact via Iceberg's own rewrite_data_files maintenance"
         )
-    begun = [e for e in man.entries if e["stage"] == "append_begin"]
-    done = {e["unit"] for e in man.entries if e["stage"] == "append"}
-    if [e for e in begun if e["unit"] not in done]:
-        raise ValueError(
-            "compact_index: an append is pending (begin committed, append "
-            "not) — resume it to completion (or discard its manifest "
-            "entry) before compacting"
-        )
+    from .delete import _pending, tombstone_docs
+
+    for kind in ("append", "delete"):
+        if _pending(man, kind):
+            raise ValueError(
+                f"compact_index: a {kind} is pending (begin committed, "
+                f"{kind} not) — resume it to completion (or discard its "
+                "manifest entry) before compacting"
+            )
     t0 = time.time()
     post_root = table_path(index_dir, "postings")
     block_root = table_path(index_dir, "blocks")
@@ -437,6 +452,15 @@ def compact_index(spark: SparkSession, index_dir: str) -> Manifest:
     postings = spark.read.option("basePath", post_root).parquet(
         *[os.path.join(post_root, f"gen={g}") for g in live]
     )
+    # physical purge of tombstoned documents (operators/delete.py): the
+    # rewrite is already reading every posting, so dropping dead docs is
+    # one broadcast anti-join; afterwards no query path can reach them and
+    # the hot-path tombstone filter switches off (tombstones_unpurged=0)
+    tomb = tombstone_docs(spark, fmt, index_dir)
+    if tomb is not None and int(stats.get("tombstones_unpurged", 0)) > 0:
+        postings = postings.join(
+            F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti"
+        )
     fmt.write(
         postings.withColumn("gen", F.lit(gen))
         .repartition(F.col("bucket"))
@@ -469,6 +493,10 @@ def compact_index(spark: SparkSession, index_dir: str) -> Manifest:
     )
     stats["post_gens"] = [gen]
     stats["compacted_gen"] = gen
+    # every tombstoned doc is now physically absent from postings/blocks;
+    # the tombstones TABLE stays (conversation registry for re-append
+    # disjointness + get_doc), only the hot-path filter switches off
+    stats["tombstones_unpurged"] = 0
     write_stats(index_dir, stats)
     man.commit(
         "compact", f"gen={gen}", supersedes=live,

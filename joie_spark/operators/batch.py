@@ -156,6 +156,10 @@ def _two_phase_topk(exploded: DataFrame, k: int) -> DataFrame:
 def _apply_filters(
     cand: DataFrame, ix: Index, where: str | None, where_doc: str | None
 ) -> DataFrame:
+    # deleted-doc deny-list first (operators/delete.py): applied to every
+    # candidate source BEFORE scoring/θ, so batch pruning soundness is
+    # untouched (same argument as the where filters below)
+    cand = ix.exclude_tombstones(cand)
     if where:
         cand = cand.join(
             ix.turns.where(where).select(*MATCH_COLS), MATCH_COLS, "left_semi"

@@ -1,0 +1,240 @@
+"""Tombstone deletes: remove conversations with rebuild-exact semantics.
+
+The reference is write-once (engine/src/builder.rs:98-143) — removing a
+conversation means rebuilding.  With generation-sliced tables
+(operators/append.py) a delete can instead be a small metadata
+transaction whose query results are EXACTLY a rebuild over the remaining
+corpus (scores bit-identical; only doc_id assignment differs, so the
+equivalence tests key on conv_id — the same contract as append):
+
+  tombstones/     (doc_id, conv_id) rows, one gen partition per delete op
+                  — the deny-list every query path anti-joins (broadcast:
+                  tombstones ≪ corpus).  Postings/blocks/turns/doc_meta
+                  are NOT touched.
+  term_dict       a fresh COMPLETE snapshot with the deleted turns' df/cf
+                  subtracted (term ids stable; terms reaching df=0 are
+                  kept with zero counts — they can never match because
+                  all their postings are tombstoned, so results equal a
+                  rebuild that lacks the term entirely).
+  stats           N/total_dl/avgdl decremented by the deleted turns.
+
+Why scores stay exact: BM25 inputs are tf/dl (per remaining posting,
+unchanged), df (updated snapshot), N/avgdl (updated stats).  Block-max
+upper bounds stay SOUND: removing docs only shrinks each block's true
+max, and the avgdl shift is covered by the same enc_avgdl drift factor
+appends use (wand._avgdl_drift: avgdl down → stored bounds were computed
+at a larger avgdl, already upper bounds; avgdl up → scaled).
+
+delete + append of the same conv_id = an UPDATE with exact semantics
+(append's disjointness check ignores tombstoned conversations).
+
+`compact_index` physically purges tombstoned postings/blocks (it already
+rewrites both into a fresh generation; the purge is one broadcast
+anti-join on its input) and resets the hot-path filter
+(stats.tombstones_unpurged = 0).  The tombstones table is retained as
+the conversation registry — re-appends and get_doc consult it — and dead
+rows linger in the turns/doc_meta row stores (unreachable by any query;
+reclaimed by a full rebuild).
+
+Everything is manifest-logged and resumable mid-delete, same recipe as
+append: begin (pins the target set + base stats) → tombstones →
+term_dict → stats/commit, each stage an idempotent per-gen overwrite.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import (
+    Manifest,
+    format_by_name,
+    read_stats,
+    write_stats,
+)
+from .append import _all_known_gens, _live_dict
+from .build import term_stats_of
+
+
+def _pending(man: Manifest, kind: str) -> list[dict]:
+    begun = [e for e in man.entries if e["stage"] == f"{kind}_begin"]
+    done = {e["unit"] for e in man.entries if e["stage"] == kind}
+    return [e for e in begun if e["unit"] not in done]
+
+
+def tombstone_docs(spark: SparkSession, fmt, index_dir: str) -> DataFrame | None:
+    """All tombstoned (doc_id, conv_id) rows, or None when no delete ever
+    ran (the table does not exist)."""
+    import os
+
+    from ..sources.tables import table_path
+
+    if fmt.name == "parquet":
+        if not os.path.isdir(table_path(index_dir, "tombstones")):
+            return None
+        return fmt.read(spark, index_dir, "tombstones").select("doc_id", "conv_id")
+    try:
+        return fmt.read(spark, index_dir, "tombstones").select("doc_id", "conv_id")
+    except Exception:  # noqa: BLE001 — missing table (no deletes yet)
+        return None
+
+
+def delete_convs(
+    spark: SparkSession,
+    conv_ids: list[str] | DataFrame,
+    index_dir: str,
+    collect_metrics: bool = False,
+) -> Manifest:
+    """Tombstone whole conversations (all their turns).
+
+    Raises on conversations the index does not contain (or that are
+    already deleted) — a delete that silently half-applies would be a
+    correctness trap.  Resumable: a crashed delete resumes its pending
+    generation; the final stats are recomputed from begin-time bases, so
+    a resume after a crash inside the stats window is idempotent."""
+    man = Manifest.load(index_dir)
+    if not man.is_done("build"):
+        raise ValueError("delete_convs requires a completed build at index_dir")
+    if _pending(man, "append"):
+        raise ValueError(
+            "delete_convs: an append is pending — resume it to completion first"
+        )
+    stats = read_stats(index_dir)
+    fmt = format_by_name(stats.get("table_format", "parquet"))
+
+    convs = (
+        conv_ids.select("conv_id")
+        if isinstance(conv_ids, DataFrame)
+        else spark.createDataFrame([(c,) for c in conv_ids], "conv_id string")
+    ).distinct()
+
+    pending = _pending(man, "delete")
+    if pending:
+        gen = int(pending[-1]["unit"].removeprefix("gen="))
+        fp = _convs_fingerprint(convs)
+        if fp != pending[-1].get("input_fp"):
+            raise ValueError(
+                "resuming delete gen=%d with a DIFFERENT conv set "
+                "(fingerprint %s != %s); finish the pending delete first"
+                % (gen, fp, pending[-1].get("input_fp"))
+            )
+        base_n = int(pending[-1]["base_N"])
+        base_total_dl = int(pending[-1]["base_total_dl"])
+        base_unpurged = int(pending[-1]["base_unpurged"])
+    else:
+        gen = 1 + max(_all_known_gens(man, stats, index_dir, fmt))
+        # resolve + validate: every conv must exist and not be tombstoned
+        doc_meta = fmt.read(spark, index_dir, "doc_meta")
+        tomb = tombstone_docs(spark, fmt, index_dir)
+        live = doc_meta.select("doc_id", "conv_id")
+        if tomb is not None:
+            live = live.join(tomb.select("doc_id"), "doc_id", "left_anti")
+        matched = live.join(convs, "conv_id", "left_semi")
+        n_req = convs.count()
+        n_hit = matched.select("conv_id").distinct().count()
+        if n_hit != n_req:
+            raise ValueError(
+                f"delete_convs: {n_req - n_hit} of {n_req} conv_id(s) are "
+                "unknown or already deleted"
+            )
+        base_n = int(stats["N"])
+        base_total_dl = int(stats["total_dl"])
+        base_unpurged = int(stats.get("tombstones_unpurged", 0))
+        man.commit(
+            "delete_begin", f"gen={gen}", input_fp=_convs_fingerprint(convs),
+            base_N=base_n, base_total_dl=base_total_dl,
+            base_unpurged=base_unpurged,
+        )
+
+    unit = f"gen={gen}"
+    if not man.is_done("delete_tombstones", unit):
+        targets = (
+            fmt.read(spark, index_dir, "doc_meta")
+            .select("doc_id", "conv_id")
+            .join(convs, "conv_id", "left_semi")
+        )
+        prior = tombstone_docs(spark, fmt, index_dir)
+        if prior is not None:
+            # only the conv's LIVE incarnation: a conv that was deleted,
+            # re-appended (update) and is deleted again must not
+            # re-tombstone its old doc_ids
+            targets = targets.join(prior.select("doc_id"), "doc_id", "left_anti")
+        fmt.write(
+            targets.withColumn("gen", F.lit(gen)).coalesce(1),
+            index_dir,
+            "tombstones",
+            partition_by=["gen"],
+            subunit=unit,
+        )
+        man.commit("delete_tombstones", unit)
+    # the committed gen slice IS the target set (stable across resumes)
+    targets = (
+        fmt.read(spark, index_dir, "tombstones")
+        .where(F.col("gen") == gen)
+        .select("doc_id", "conv_id")
+    )
+
+    deleted_turns = fmt.read(spark, index_dir, "turns").join(
+        targets.select("doc_id"), "doc_id", "left_semi"
+    )
+
+    # ---- updated dictionary snapshot (counts subtracted, ids stable) ----
+    if not man.is_done("delete_term_dict", unit):
+        t0 = time.time()
+        old = _live_dict(spark, fmt, index_dir, stats["dict_gen"]).select(
+            "term", "term_id", "df", "cf"
+        )
+        d = (
+            term_stats_of(deleted_turns)
+            .withColumnRenamed("df", "d_df")
+            .withColumnRenamed("cf", "d_cf")
+        )
+        updated = old.join(d, "term", "left").select(
+            "term",
+            "term_id",
+            (F.col("df") - F.coalesce("d_df", F.lit(0))).alias("df"),
+            (F.col("cf") - F.coalesce("d_cf", F.lit(0))).alias("cf"),
+        )
+        fmt.write(
+            updated.select("term", "term_id", "df", "cf", F.lit(gen).alias("gen"))
+            .repartitionByRange(F.col("term_id"))
+            .sortWithinPartitions("term_id"),
+            index_dir,
+            "term_dict",
+            partition_by=["gen"],
+            subunit=unit,
+        )
+        man.commit("delete_term_dict", unit, seconds=round(time.time() - t0, 3))
+
+    # ---- stats (from begin-time bases — idempotent on resume) ----
+    d = deleted_turns.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("dl"),
+        F.countDistinct("doc_id").alias("docs"),
+    ).collect()[0]
+    new_n = base_n - int(d["n"])
+    if new_n <= 0:
+        raise ValueError("delete_convs would empty the index; rebuild instead")
+    stats.update(
+        {
+            "N": new_n,
+            "total_dl": base_total_dl - int(d["dl"]),
+            "avgdl": (base_total_dl - int(d["dl"])) / new_n,
+            "dict_gen": gen,
+            "tombstones_unpurged": base_unpurged + int(d["docs"]),
+        }
+    )
+    write_stats(index_dir, stats)
+    rows = int(d["n"]) if collect_metrics else -1
+    man.commit("delete", unit, rows=rows, N=new_n)
+    return man
+
+
+def _convs_fingerprint(convs: DataFrame) -> str:
+    agg = convs.agg(
+        F.count("*").alias("n"),
+        F.min("conv_id").alias("lo"),
+        F.max("conv_id").alias("hi"),
+    ).collect()[0]
+    return f"{agg['n']}:{agg['lo']}:{agg['hi']}"

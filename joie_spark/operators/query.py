@@ -159,6 +159,7 @@ class Index:
         self.term_dict = td
         self._blocks: DataFrame | None = None
         self._doc_meta: DataFrame | None = None
+        self._tombstones: DataFrame | None | bool = False  # False = unread
 
     @property
     def doc_meta(self) -> DataFrame:
@@ -187,6 +188,30 @@ class Index:
                 b = b.withColumn("enc_avgdl", F.lit(float(self.stats["avgdl"])))
             self._blocks = b
         return self._blocks
+
+    @property
+    def tombstones(self) -> DataFrame | None:
+        """doc_ids deleted but not yet physically purged by compaction
+        (operators/delete.py), or None when no filter is needed.  Gated on
+        stats.tombstones_unpurged so indexes that never saw a delete —
+        and compacted ones, where dead docs have no postings left — pay
+        nothing."""
+        if self._tombstones is False:
+            if int(self.stats.get("tombstones_unpurged", 0)) > 0:
+                self._tombstones = self.fmt.read(
+                    self.spark, self.index_dir, "tombstones"
+                ).select("doc_id")
+            else:
+                self._tombstones = None
+        return self._tombstones
+
+    def exclude_tombstones(self, df: DataFrame) -> DataFrame:
+        """Anti-join `df` (any doc_id-carrying frame) against the deleted
+        set — broadcast: tombstones ≪ corpus by construction."""
+        t = self.tombstones
+        if t is None:
+            return df
+        return df.join(F.broadcast(t), "doc_id", "left_anti")
 
     def lookup_terms(self, words: list[str]) -> dict[str, tuple[int, int]]:
         """term string → (term_id, df); missing → absent (OOV).
@@ -407,7 +432,7 @@ def search_expr(
     term_of = {w: lut[w][0] for w in lut}
 
     node = lower(expr, term_of, optimize)
-    match = eval_match(ix, node)
+    match = ix.exclude_tombstones(eval_match(ix, node))
     if where:
         match = match.join(
             ix.turns.where(where).select(*MATCH_COLS), MATCH_COLS, "left_semi"
@@ -425,7 +450,7 @@ def match_set_expr(ix: Index, expr: Expr, optimize: bool = True) -> DataFrame:
     words = sorted({t for lit_ in _literal_texts(expr) for t in tokenize_terms(lit_)})
     lut = ix.lookup_terms(words)
     node = lower(expr, {w: lut[w][0] for w in lut}, optimize)
-    return eval_match(ix, node).orderBy(*MATCH_COLS)
+    return ix.exclude_tombstones(eval_match(ix, node)).orderBy(*MATCH_COLS)
 
 
 def _mask_consts(ids: set[int], bitpos: dict[int, int], n_words: int) -> list[int]:
@@ -537,11 +562,7 @@ def search_many(
 def match_set(ix: Index, query: str, optimize: bool = True) -> DataFrame:
     """Unranked match set in (doc_id, turn_idx) order — the reference's
     native output order (searcher.rs:37-52)."""
-    expr = parse_query(query)
-    words = sorted({t for lit_ in _literal_texts(expr) for t in tokenize_terms(lit_)})
-    lut = ix.lookup_terms(words)
-    node = lower(expr, {w: lut[w][0] for w in lut}, optimize)
-    return eval_match(ix, node).orderBy(*MATCH_COLS)
+    return match_set_expr(ix, parse_query(query), optimize)
 
 
 def _literal_texts(expr: Expr) -> list[str]:

@@ -122,6 +122,10 @@ def _score_blocks(
         (F.col("packed") % (1 << TURN_BITS)).cast("int").alias("turn_idx"),
         score.alias("score"),
     )
+    # deleted-doc deny-list, fused like doc_filter: applied in BOTH phases
+    # (probe θ and final), so θ is a k-th best score over LIVE docs and
+    # the pruning argument is unchanged (operators/delete.py)
+    scored = ix.exclude_tombstones(scored)
     if doc_filter is not None:
         scored = scored.join(doc_filter, "doc_id", "left_semi")
     return scored.orderBy(

@@ -310,7 +310,10 @@ def simhash_neardup_pairs(
     assert max_hamming < n_chunks, "pigeonhole needs max_hamming < n_chunks"
     bits_per = 64 // n_chunks
     mask = (1 << bits_per) - 1
-    sigs = simhash64(docs)
+    # persist: both sides of the self-join read the SAME signature pass —
+    # unpersisted, the tokenize+16-accumulator agg runs twice (the same
+    # shared-pass fix the minhash verify join got in r3)
+    sigs = simhash64(docs).persist()
     chunked = sigs.select(
         "doc_id",
         "simhash",
@@ -342,10 +345,12 @@ def simhash_neardup_pairs(
         .dropDuplicates(["a", "b"])
     )
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return (
+    out = (
         cand.select("a", "b", hamming.cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+    out._joie_persisted = sigs  # release handle (freed on GC otherwise)
+    return out
 
 
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:

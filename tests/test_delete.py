@@ -1,0 +1,209 @@
+"""Tombstone deletes (operators/delete.py).
+
+Contract: build(a ∪ b) + delete(b) answers every query with the SAME
+scored result set as build(a) — scores bit-identical (tf/dl unchanged
+for the survivors, df/N/avgdl decremented exactly); only doc_id
+assignment differs, so comparisons key on conv_id.  Same shape as the
+append equivalence suite (test_append.py); together they make
+delete+append an exact UPDATE."""
+
+import os
+
+import pytest
+
+QUERIES = [
+    "roll OR dice",
+    "roll AND dice",
+    '"crystal kingdom"',
+    "the",
+    '(roll OR "crystal kingdom") AND dice',
+]
+
+
+def _split(t1_rows, keep=35):
+    convs = sorted({r["conv_id"] for r in t1_rows})
+    keep_set = set(convs[:keep])
+    a = [r for r in t1_rows if r["conv_id"] in keep_set]
+    gone = [c for c in convs if c not in keep_set]
+    return a, gone
+
+
+def _by_conv(eng, q, **kw):
+    res = eng.search(q, k=100000, **kw)
+    convs = eng.index.turns.select("doc_id", "conv_id").distinct()
+    rows = res.join(convs, "doc_id").collect()
+    return sorted((r["conv_id"], r["turn_idx"], r["score"]) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def deleted(spark, t1_rows, tmp_path_factory):
+    """ref = build(kept); eng = build(all) then delete(the rest)."""
+    from joie_spark.engine import Engine
+
+    a, gone = _split(t1_rows)
+    kw = dict(n_buckets=8, docs_per_block=8, block_chunks=1)
+    d_ref = str(tmp_path_factory.mktemp("ix_del_ref"))
+    d_eng = str(tmp_path_factory.mktemp("ix_del"))
+    ref = Engine.build(spark, spark.createDataFrame(a), d_ref, **kw)
+    eng = Engine.build(spark, spark.createDataFrame(t1_rows), d_eng, **kw)
+    eng.delete(gone)
+    return ref, eng, gone
+
+
+def test_delete_equals_rebuild_all_paths(deleted):
+    ref, eng, _gone = deleted
+    assert eng.index.stats["N"] == ref.index.stats["N"]
+    assert eng.index.stats["avgdl"] == ref.index.stats["avgdl"]
+    assert eng.index.stats["total_dl"] == ref.index.stats["total_dl"]
+    for q in QUERIES:
+        assert _by_conv(eng, q, mode="exhaustive") == _by_conv(
+            ref, q, mode="exhaustive"
+        ), q
+        assert _by_conv(eng, q) == _by_conv(ref, q), q  # auto: WAND/blocks
+    # df parity: every surviving term's df matches the rebuild
+    lut_e = eng.index.lookup_terms(["roll", "dice", "the", "crystal"])
+    lut_r = ref.index.lookup_terms(["roll", "dice", "the", "crystal"])
+    assert {w: df for w, (_t, df) in lut_e.items()} == {
+        w: df for w, (_t, df) in lut_r.items()
+    }
+
+
+def test_delete_batch_and_forced_pruning_paths(deleted):
+    ref, eng, _gone = deleted
+    flat = ["roll OR dice", "roll AND dice", "the"]
+    for e in (ref, eng):
+        auto = e.search_many(flat, k=8).collect()
+        forced = e.search_many(flat, k=8, direct_threshold=0, probe_blocks=2).collect()
+        assert auto == forced
+    got = [
+        (r["query_id"], r["score"])
+        for r in eng.search_many(flat, k=8).collect()
+    ]
+    want = [
+        (i, r["score"])
+        for i, q in enumerate(flat)
+        for r in ref.search(q, k=8, mode="exhaustive").collect()
+    ]
+    assert got == want
+
+
+def test_delete_match_set_and_get_doc(deleted, spark):
+    ref, eng, gone = deleted
+    m_e = eng.match_set("roll AND dice").join(
+        eng.index.turns.select("doc_id", "conv_id").distinct(), "doc_id"
+    ).collect()
+    m_r = ref.match_set("roll AND dice").join(
+        ref.index.turns.select("doc_id", "conv_id").distinct(), "doc_id"
+    ).collect()
+    assert sorted((r["conv_id"], r["turn_idx"]) for r in m_e) == sorted(
+        (r["conv_id"], r["turn_idx"]) for r in m_r
+    )
+    # get_doc on a deleted doc returns nothing (dead handle)
+    dead_doc = (
+        eng.index.doc_meta.where(f"conv_id = '{gone[0]}'")
+        .select("doc_id")
+        .collect()[0][0]
+    )
+    assert eng.get_doc(dead_doc).count() == 0
+
+
+def test_delete_validates_targets(deleted, spark):
+    _ref, eng, gone = deleted
+    with pytest.raises(ValueError, match="unknown or already deleted"):
+        eng.delete(["no-such-conv"])
+    with pytest.raises(ValueError, match="unknown or already deleted"):
+        eng.delete([gone[0]])  # double delete
+
+
+def test_delete_then_append_is_exact_update(spark, t1_rows, tmp_path):
+    from joie_spark.engine import Engine
+
+    kw = dict(n_buckets=8, docs_per_block=8, block_chunks=1)
+    victim = sorted({r["conv_id"] for r in t1_rows})[0]
+    updated = [dict(r) for r in t1_rows if r["conv_id"] == victim][:2]
+    for i, r in enumerate(updated):
+        r["turn_idx"] = i
+        r["text"] = "crystal dice reborn version " + str(i)
+
+    d_eng = str(tmp_path / "ix_upd")
+    eng = Engine.build(spark, spark.createDataFrame(t1_rows), d_eng, **kw)
+    eng.delete([victim])
+    eng.append(spark.createDataFrame(updated))  # same conv_id — now allowed
+
+    d_ref = str(tmp_path / "ix_upd_ref")
+    ref_rows = [r for r in t1_rows if r["conv_id"] != victim] + updated
+    ref = Engine.build(spark, spark.createDataFrame(ref_rows), d_ref, **kw)
+    assert eng.index.stats["N"] == ref.index.stats["N"]
+    assert eng.index.stats["avgdl"] == ref.index.stats["avgdl"]
+    for q in ["roll OR dice", "crystal AND dice", '"crystal dice"']:
+        assert _by_conv(eng, q, mode="exhaustive") == _by_conv(
+            ref, q, mode="exhaustive"
+        ), q
+        assert _by_conv(eng, q) == _by_conv(ref, q), q
+
+
+def test_compact_purges_tombstones(spark, t1_rows, tmp_path):
+    from joie_spark.engine import Engine
+    from joie_spark.sources.tables import read_stats
+
+    kw = dict(n_buckets=8, docs_per_block=8, block_chunks=1)
+    a, gone = _split(t1_rows)
+    d = str(tmp_path / "ix_purge")
+    eng = Engine.build(spark, spark.createDataFrame(t1_rows), d, **kw)
+    n_before = eng.index.postings.count()
+    eng.delete(gone)
+    assert read_stats(d)["tombstones_unpurged"] == len(gone)
+    before = {q: _by_conv(eng, q) for q in QUERIES[:3]}
+    eng.compact()
+    assert read_stats(d)["tombstones_unpurged"] == 0
+    assert eng.index.tombstones is None  # hot-path filter off
+    assert eng.index.postings.count() < n_before  # physically purged
+    for q in QUERIES[:3]:
+        assert _by_conv(eng, q) == before[q], q
+        assert _by_conv(eng, q, mode="exhaustive") == before[q], q
+    # post-purge: re-append of a deleted conv still allowed (registry kept)
+    rows = [dict(r) for r in t1_rows if r["conv_id"] == gone[0]][:1]
+    rows[0]["turn_idx"] = 0
+    eng.append(spark.createDataFrame(rows))
+    # and a fresh delete after the purge works
+    eng.delete([gone[0]])
+
+
+def test_delete_resume_after_crash(spark, t1_rows, tmp_path, monkeypatch):
+    from joie_spark.engine import Engine
+    from joie_spark.operators.delete import delete_convs
+    from joie_spark.sources.tables import ParquetManifestFormat, read_stats
+
+    kw = dict(n_buckets=8, docs_per_block=8, block_chunks=1)
+    a, gone = _split(t1_rows)
+    d = str(tmp_path / "ix_del_crash")
+    eng = Engine.build(spark, spark.createDataFrame(t1_rows), d, **kw)
+
+    real_write = ParquetManifestFormat.write
+
+    def failing_write(self, df, index_dir, table, partition_by=(), subunit=None):
+        if table == "term_dict" and subunit and subunit != "gen=0":
+            raise RuntimeError("injected crash mid-delete")
+        return real_write(self, df, index_dir, table, partition_by, subunit)
+
+    monkeypatch.setattr(ParquetManifestFormat, "write", failing_write)
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.delete(gone)
+    monkeypatch.setattr(ParquetManifestFormat, "write", real_write)
+
+    # a pending delete blocks compact and append
+    with pytest.raises(ValueError, match="pending"):
+        eng.compact()
+    with pytest.raises(ValueError, match="pending"):
+        eng.append(spark.createDataFrame([dict(t1_rows[0], conv_id="zz-new")]))
+    # resume with a DIFFERENT conv set is refused
+    with pytest.raises(ValueError, match="fingerprint"):
+        delete_convs(spark, gone[:2], d)
+
+    eng.delete(gone)  # resume completes
+    d_ref = str(tmp_path / "ix_del_crash_ref")
+    ref = Engine.build(spark, spark.createDataFrame(a), d_ref, **kw)
+    assert read_stats(d)["N"] == ref.index.stats["N"]
+    assert read_stats(d)["avgdl"] == ref.index.stats["avgdl"]
+    for q in QUERIES[:3]:
+        assert _by_conv(eng, q) == _by_conv(ref, q), q
