@@ -189,6 +189,13 @@ def main() -> None:
         timings["engine_query_batch_pruned"] = min(
             spreads["engine_query_batch_pruned"]
         )
+        # decode-fraction evidence for the pruned path (untimed pass —
+        # the stats collection adds a count job)
+        pruning: dict = {}
+        eng.search_many(
+            batch, k=10, direct_threshold=0, probe_blocks=8,
+            stats_out=pruning,
+        ).collect()
         # latency reference: one single query through Engine.search
         for _rep in range(REPS):
             t0 = time.time()
@@ -214,6 +221,7 @@ def main() -> None:
             "append_turns_per_sec": round(n_delta / append_sec, 1),
             "batch_size": len(batch),
             "n_turns": n_turns,
+            "pruning": pruning,
         }
     finally:
         shutil.rmtree(ix_dir, ignore_errors=True)

@@ -119,6 +119,7 @@ class Engine:
         mode: str = "auto",
         probe_blocks: int = 8,
         direct_threshold: int = 4096,
+        stats_out: dict | None = None,
     ) -> DataFrame:
         """Batch BM25 top-k: one dictionary lookup + one job chain for the
         whole batch → (query_id, doc_id, turn_idx, score), top-k per
@@ -132,7 +133,7 @@ class Engine:
         return Q.search_many(
             self.index, queries, k=k, where=where, where_doc=where_doc,
             optimize=optimize, mode=mode, probe_blocks=probe_blocks,
-            direct_threshold=direct_threshold,
+            direct_threshold=direct_threshold, stats_out=stats_out,
         )
 
     def search_highlighted(

@@ -414,8 +414,13 @@ def _blocks_path(
     where_doc: str | None,
     probe_blocks: int,
     direct_threshold: int = 4096,
+    stats_out: dict | None = None,
 ) -> DataFrame:
-    """Block-max pruned batch top-k for phrase-free queries (unordered)."""
+    """Block-max pruned batch top-k for phrase-free queries (unordered).
+
+    `stats_out`, when passed, is filled with pruning diagnostics
+    (candidate (query, block) pairs, probed block ids, surviving decode
+    set) — costs one extra count job, so it is opt-in (bench/debug)."""
     spark = ix.spark
     avgdl = ix.stats["avgdl"]
     all_ids = sorted({t for _q, _n, qids in items for t in qids})
@@ -433,6 +438,8 @@ def _blocks_path(
     # phases below are mandatory.
     total_blocks = -(-int(ix.stats["N"]) // int(ix.stats["docs_per_block"]))
     if total_blocks <= direct_threshold:
+        if stats_out is not None:
+            stats_out.update({"path": "direct", "total_blocks": total_blocks})
         cand = _apply_filters(
             _cand_from_blocks(blocks_meta, bitpos, n_words), ix, where, where_doc
         )
@@ -440,8 +447,18 @@ def _blocks_path(
 
     ub = _ub_per_query(blocks_meta, items, idf, avgdl)
     top = _top_blocks_per_query(ub, probe_blocks)
+    if stats_out is not None:
+        stats_out.update(
+            {
+                "path": "pruned",
+                "total_blocks": total_blocks,
+                "candidate_qblock_pairs": int(sum(n for _b, n in top.values())),
+            }
+        )
 
     probe_ids = sorted({b for bs, _n in top.values() for b in bs})
+    if stats_out is not None:
+        stats_out["probed_blocks"] = len(probe_ids)
     if not probe_ids:
         return spark.createDataFrame([], OUT_SCHEMA)
 
@@ -473,7 +490,11 @@ def _blocks_path(
             theta[qid] = rows_q[-1]["score"] if len(rows_q) >= k else float("-inf")
 
     finished_df = spark.createDataFrame(finished_rows, OUT_SCHEMA)
+    if stats_out is not None:
+        stats_out["finished_after_probe"] = len(items) - len(unfinished)
     if not unfinished:
+        if stats_out is not None:
+            stats_out["survivor_blocks"] = 0
         return finished_df
 
     # phase 3: decode only blocks an unfinished query cannot prune
@@ -489,6 +510,9 @@ def _blocks_path(
         .select("block_id")
         .distinct()
     )
+    if stats_out is not None:
+        surv = surv.persist()
+        stats_out["survivor_blocks"] = surv.count()
     unf_ids = sorted({t for _q, _n, qids in unfinished for t in qids})
     final_blocks = _blocks_meta_for(ix, unf_ids).join(surv, "block_id", "left_semi")
     final_cand = _apply_filters(
@@ -538,6 +562,7 @@ def search_many(
     mode: str = "auto",
     probe_blocks: int = 8,
     direct_threshold: int = 4096,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Batch BM25 top-k → (query_id, doc_id, turn_idx, score), top-k rows
     per query_id in (query_id, score desc, doc_id, turn_idx) order.
@@ -599,7 +624,7 @@ def search_many(
         parts.append(
             _blocks_path(
                 ix, flat_items, idf, k, where, where_doc, probe_blocks,
-                direct_threshold=direct_threshold,
+                direct_threshold=direct_threshold, stats_out=stats_out,
             )
         )
     if phrase_items:

@@ -546,6 +546,7 @@ def search_many(
     mode: str = "auto",
     probe_blocks: int = 8,
     direct_threshold: int = 4096,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Batch BM25 top-k — see operators/batch.py (block-max pruned batch
     path over the compressed blocks table + positional postings fallback
@@ -555,7 +556,7 @@ def search_many(
     return _sm(
         ix, queries, k=k, where=where, where_doc=where_doc,
         optimize=optimize, mode=mode, probe_blocks=probe_blocks,
-        direct_threshold=direct_threshold,
+        direct_threshold=direct_threshold, stats_out=stats_out,
     )
 
 
