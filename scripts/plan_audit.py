@@ -139,6 +139,29 @@ def main() -> None:
     )
     results["ann_ivf_partition_pruned"] = "PartitionFilters: [ivf_cell" in plan_i
 
+    # 5d. tombstone deny-list (operators/delete.py): after a delete the
+    # filter must lower to a broadcast HASH anti-join on doc_id in every
+    # path — a nested-loop/cartesian would be a 100 TB disaster
+    from joie_spark.corpus import generate_rows as _gr
+
+    d2 = tempfile.mkdtemp(prefix="joie_audit_del_")
+    eng2 = Engine.build(
+        spark, spark.createDataFrame(_gr(50, seed=42)), d2,
+        n_buckets=8, docs_per_block=8, block_chunks=1,
+    )
+    eng2.delete(sorted({r["conv_id"] for r in _gr(50, seed=42)})[:5])
+    for label, df2 in (
+        ("tomb_exhaustive", eng2.search("roll AND dice", k=5, mode="exhaustive")),
+        ("tomb_wand", eng2.search("roll OR dice", k=5)),
+        ("tomb_batch", eng2.search_many(["roll OR dice", "roll AND dice"], k=5)),
+    ):
+        p2 = explain_str(df2)
+        results[f"{label}_anti_join_hash"] = (
+            "LeftAnti" in p2
+            and "BroadcastNestedLoopJoin" not in p2
+            and "CartesianProduct" not in p2
+        )
+
     # 6. no cross join in any headline bench query (VERDICT r1: the bench
     # must measure the scale paths, not the sampled pairwise oracles)
     import __spark_entry__ as entrymod
