@@ -268,6 +268,16 @@ def q_dup_clusters(spark, sf_dir):
     return dedup.duplicate_clusters(pairs).orderBy("doc_id")
 
 
+def q_dedup_corpus(spark, sf_dir):
+    """End of the dedup pipeline: the CLEANED corpus — docs minus
+    non-representative duplicate-cluster members (pipeline/dedup.py
+    deduped_corpus), pairs from the oracle-able sampled n-gram Jaccard
+    source (same pair source as dup_clusters)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, sample_mod=5, threshold=0.5)
+    return dedup.deduped_corpus(docs, pairs).select("doc_id", "source", "n_chars")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     # threshold chosen to yield NONZERO rows on the driver corpus (max
     # observed sampled jaccard ~0.05): a green row should verify VALUES,
@@ -482,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_filter_agg": q_doc_filter_agg,
         "topk_longest": q_topk_longest,
         "dedup_exact": q_dedup_exact,
+        "dedup_corpus": q_dedup_corpus,
         "dup_clusters": q_dup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -546,6 +557,33 @@ def _ann_portable_oracle() -> str:
               FROM cand c CROSS JOIN q)
             SELECT vec_id, round(dot/(na*nb), 4) AS cos FROM p
             ORDER BY dot/(na*nb) DESC, vec_id LIMIT 10"""
+
+
+# shared connected-components CTE over sampled n-gram-Jaccard pairs —
+# the oracle for BOTH dup_clusters (cluster labels) and dedup_corpus
+# (cleaned corpus = docs minus non-representative members)
+_CLUSTER_CTE = f"""WITH sh AS (
+              SELECT doc_id, list_distinct(
+                list_transform(generate_series(1, greatest(len({TOK_DD}) - 2, 0)),
+                               i -> array_to_string(({TOK_DD})[i:i+2], ' '))) AS s
+              FROM documents),
+            pairs AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE a.doc_id % 5 = 0
+                AND (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) > 0
+                AND round(len(list_intersect(a.s, b.s))::DOUBLE /
+                          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE, 4)
+                    > 0.5),
+            verts AS (SELECT a AS v FROM pairs UNION SELECT b FROM pairs),
+            edges AS (SELECT a AS src, b AS dst FROM pairs
+                      UNION SELECT b, a FROM pairs),
+            reach AS (
+              WITH RECURSIVE r(v, u) AS (
+                SELECT v, v FROM verts
+                UNION
+                SELECT r.v, e.dst FROM r JOIN edges e ON r.u = e.src
+              ) SELECT v, u FROM r)"""
 
 
 def _dd_hash64(expr: str, seed) -> str:
@@ -676,30 +714,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS h, count(*)::BIGINT AS cnt, min(doc_id) AS keeper
             FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
         "dup_clusters": f"""
-            WITH sh AS (
-              SELECT doc_id, list_distinct(
-                list_transform(generate_series(1, greatest(len({TOK_DD}) - 2, 0)),
-                               i -> array_to_string(({TOK_DD})[i:i+2], ' '))) AS s
-              FROM documents),
-            pairs AS (
-              SELECT a.doc_id AS a, b.doc_id AS b
-              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              WHERE a.doc_id % 5 = 0
-                AND (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) > 0
-                AND round(len(list_intersect(a.s, b.s))::DOUBLE /
-                          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE, 4)
-                    > 0.5),
-            verts AS (SELECT a AS v FROM pairs UNION SELECT b FROM pairs),
-            edges AS (SELECT a AS src, b AS dst FROM pairs
-                      UNION SELECT b, a FROM pairs),
-            reach AS (
-              WITH RECURSIVE r(v, u) AS (
-                SELECT v, v FROM verts
-                UNION
-                SELECT r.v, e.dst FROM r JOIN edges e ON r.u = e.src
-              ) SELECT v, u FROM r)
+            {_CLUSTER_CTE}
             SELECT v AS doc_id, min(u) AS cluster_id FROM reach
             GROUP BY v ORDER BY doc_id""",
+        "dedup_corpus": f"""
+            {_CLUSTER_CTE},
+            clusters AS (SELECT v AS doc_id, min(u) AS cluster_id
+                         FROM reach GROUP BY v),
+            losers AS (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
+            SELECT d.doc_id, d.source, d.n_chars FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""",
         "ngram_jaccard": f"""
             WITH sh AS (
               SELECT doc_id, list_distinct(

@@ -75,6 +75,26 @@ def ngram_jaccard_pairs(
     )
 
 
+def deduped_corpus(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The cleaned corpus: drop every non-representative member of a
+    duplicate cluster — what a training pipeline actually materializes
+    after pair generation.
+
+    `pairs` is any (a, b) near-dup pair source (ngram_jaccard_pairs,
+    minhash_lsh_verified, simhash_neardup_pairs, embedding near-dup);
+    clusters come from the distributed min-label propagation
+    (duplicate_clusters), whose cluster_id IS the minimum doc_id of the
+    cluster — the kept representative (deterministic across runs and
+    cluster sizes).  Docs in no cluster pass through untouched, so the
+    result is docs minus (cluster members − representatives): one
+    broadcast-size anti-join, no extra shuffle over the corpus."""
+    clusters = duplicate_clusters(pairs.select("a", "b"))
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return docs.join(losers, "doc_id", "left_anti")
+
+
 def _hash64_sql(expr: str, seed, portable: bool) -> str:
     """Seeded 64-bit hash as Spark SQL text.
 

@@ -427,3 +427,20 @@ def test_portable_lsh_topk_sane(spark):
     assert coss == sorted(coss, reverse=True)
     for r in got:
         assert exact[r["vec_id"]] == r["cos"]
+
+
+def test_deduped_corpus_keeps_representatives(docs):
+    """End of the dedup pipeline: the cleaned corpus drops every
+    non-representative cluster member and nothing else."""
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, sample_mod=1, threshold=0.5)
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs.select("a", "b")).collect()
+    }
+    losers = {d for d, c in clusters.items() if d != c}
+    assert losers  # fixture plants near-dups of doc 0
+    kept = {r["doc_id"] for r in dedup.deduped_corpus(docs, pairs).collect()}
+    all_ids = {r["doc_id"] for r in docs.collect()}
+    assert kept == all_ids - losers
+    # representatives (cluster minima) survive
+    assert all(c in kept for c in clusters.values())
