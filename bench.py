@@ -192,10 +192,13 @@ def main() -> None:
         # decode-fraction evidence for the pruned path (untimed pass —
         # the stats collection adds a count job)
         pruning: dict = {}
-        eng.search_many(
+        diag = eng.search_many(
             batch, k=10, direct_threshold=0, probe_blocks=8,
             stats_out=pruning,
-        ).collect()
+        )
+        diag.collect()
+        if getattr(diag, "_joie_persisted", None) is not None:
+            diag._joie_persisted.unpersist()
         # latency reference: one single query through Engine.search
         for _rep in range(REPS):
             t0 = time.time()

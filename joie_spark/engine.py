@@ -226,15 +226,14 @@ class Engine:
     def get_doc(self, doc_id: int) -> DataFrame:
         """All turns of a conversation (Database::get_doc, lib.rs:104-110).
         Deleted conversations return no rows (doc_ids of deleted docs are
-        dead handles, matching a rebuild where they don't exist)."""
+        dead handles, matching a rebuild where they don't exist).  The
+        tombstone registry handle is cached on the Index (invalidated by
+        the delete/compact reload) — a point lookup shouldn't pay a table
+        re-read per call (ADVICE r4)."""
         out = self.index.turns.where(F.col("doc_id") == doc_id)
-        from .operators.delete import tombstone_docs
-
-        tomb = tombstone_docs(self.spark, self.index.fmt, self.index.index_dir)
+        tomb = self.index.registry_tombstones
         if tomb is not None:
-            out = out.join(
-                F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti"
-            )
+            out = out.join(F.broadcast(tomb), "doc_id", "left_anti")
         return out.orderBy("turn_idx")
 
     def explain(self, query: str, where: str | None = None) -> str:

@@ -132,15 +132,26 @@ def append_index(
 
     `idempotency_key`: an at-most-once token for replay-prone callers
     (the streaming sink passes its micro-batch id).  A call whose key
-    matches an already COMMITTED append returns immediately as a no-op —
-    a batch replayed after a crash between the append commit and the
-    streaming checkpoint would otherwise start a new generation and trip
-    the conv-disjointness check forever (ADVICE r3)."""
+    matches an already COMMITTED append with the SAME input fingerprint
+    returns immediately as a no-op — a batch replayed after a crash
+    between the append commit and the streaming checkpoint would
+    otherwise start a new generation and trip the conv-disjointness
+    check forever (ADVICE r3).  A key match with a DIFFERENT input
+    raises: streaming batch ids restart at 0 when a checkpoint dir is
+    recreated (or a second stream writes to the same index), and
+    silently no-opping a genuinely new batch whose key collides would
+    be data loss (ADVICE r4)."""
     man = Manifest.load(index_dir)
     if not (man.is_done("build") or any(
         e["stage"] == "append" and e["status"] == "done" for e in man.entries
     )):
         raise ValueError("append_index requires a completed build at index_dir")
+
+    src = (
+        spark.read.parquet(new_source) if isinstance(new_source, str) else new_source
+    )
+    src = src.withColumn("turn_idx", F.col("turn_idx").cast("int"))
+
     if idempotency_key is not None:
         for e in man.entries:
             if (
@@ -148,16 +159,21 @@ def append_index(
                 and e.get("key") == idempotency_key
                 and man.is_done("append", e["unit"])
             ):
-                return man  # replay of a fully committed append
+                fp = _input_fingerprint(src)
+                if fp == e.get("input_fp"):
+                    return man  # replay of a fully committed append
+                raise ValueError(
+                    "idempotency_key %r was already committed (%s) with a "
+                    "DIFFERENT input (fingerprint %s != %s) — a replayed "
+                    "key must carry the same batch; new data needs a new "
+                    "key (recreate the stream checkpoint identity, not the "
+                    "batch counter)"
+                    % (idempotency_key, e["unit"], fp, e.get("input_fp"))
+                )
     stats = read_stats(index_dir)
     fmt = format_by_name(stats.get("table_format", "parquet"))
     n_buckets = stats["n_buckets"]
     docs_per_block = stats["docs_per_block"]
-
-    src = (
-        spark.read.parquet(new_source) if isinstance(new_source, str) else new_source
-    )
-    src = src.withColumn("turn_idx", F.col("turn_idx").cast("int"))
 
     # generation assignment: resume an unfinished append's gen if one is
     # pending (begin committed, append not), else strictly after EVERY gen
@@ -372,15 +388,21 @@ def append_index(
 
 
 def _input_fingerprint(src: DataFrame) -> str:
-    """Cheap identity check so a RESUMED append can detect a different
-    input (full content hashing would scan the data twice)."""
+    """Content identity check so a RESUMED append (or an idempotency-key
+    replay) detects a different input in ONE agg pass.
+
+    The hash term is an order-independent SUM of xxhash64(conv_id,
+    turn_idx) — unlike the old count:distinct:min:max shape (ADVICE r4),
+    a different row set with coincidentally matching extremes cannot
+    collide short of an adversarial hash collision.  The sum runs in
+    DECIMAL(38,0): a LongType sum would overflow (and throw under ANSI
+    mode) on large deltas, and wrap-around would weaken the hash."""
     agg = src.agg(
         F.count("*").alias("n"),
         F.countDistinct("conv_id").alias("c"),
-        F.min("conv_id").alias("lo"),
-        F.max("conv_id").alias("hi"),
+        F.sum(F.xxhash64("conv_id", "turn_idx").cast("decimal(38,0)")).alias("h"),
     ).collect()[0]
-    return f"{agg['n']}:{agg['c']}:{agg['lo']}:{agg['hi']}"
+    return f"{agg['n']}:{agg['c']}:{agg['h']}"
 
 
 def compact_index(spark: SparkSession, index_dir: str) -> Manifest:

@@ -511,6 +511,10 @@ def _blocks_path(
         .distinct()
     )
     if stats_out is not None:
+        # persisted so the diagnostic count and the final-decode semi-join
+        # share one computation; exposed as ._joie_persisted on the result
+        # for caller-controlled release (ADVICE r4 — unpersisting here,
+        # before the caller materializes the result, would defeat it)
         surv = surv.persist()
         stats_out["survivor_blocks"] = surv.count()
     unf_ids = sorted({t for _q, _n, qids in unfinished for t in qids})
@@ -521,7 +525,10 @@ def _blocks_path(
     final_df = _topk_from_cand(
         final_cand, unfinished, idf, avgdl, bitpos, n_words, k
     )
-    return finished_df.unionByName(final_df)
+    out = finished_df.unionByName(final_df)
+    if stats_out is not None:
+        out._joie_persisted = surv
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -629,9 +636,16 @@ def search_many(
         )
     if phrase_items:
         parts.append(_postings_path(ix, phrase_items, idf, k, where, where_doc))
+    handles = [h for p in parts if (h := getattr(p, "_joie_persisted", None)) is not None]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.orderBy(
+    out = out.orderBy(
         "query_id", F.desc("score"), F.asc("doc_id"), F.asc("turn_idx")
     )
+    if handles:
+        # stats_out diagnostics persisted an intermediate (survivor-block
+        # set); hand the release handle to the caller — unpersist after
+        # materializing the result (same contract as pipeline/dedup.py)
+        out._joie_persisted = handles[0]
+    return out

@@ -160,6 +160,7 @@ class Index:
         self._blocks: DataFrame | None = None
         self._doc_meta: DataFrame | None = None
         self._tombstones: DataFrame | None | bool = False  # False = unread
+        self._registry_tombstones: DataFrame | None | bool = False
 
     @property
     def doc_meta(self) -> DataFrame:
@@ -204,6 +205,23 @@ class Index:
             else:
                 self._tombstones = None
         return self._tombstones
+
+    @property
+    def registry_tombstones(self) -> DataFrame | None:
+        """The FULL tombstone registry (doc_id of every doc ever deleted),
+        or None when no delete ever ran.  Unlike `tombstones` this is NOT
+        gated on tombstones_unpurged: compaction purges postings/blocks
+        but dead rows linger in the turns/doc_meta row stores, so row-store
+        point lookups (Engine.get_doc) must keep filtering forever.
+        Cached on the Index handle — the Engine reloads the Index on
+        delete/compact, so per-call table re-reads are avoided (ADVICE
+        r4)."""
+        if self._registry_tombstones is False:
+            from .delete import tombstone_docs
+
+            t = tombstone_docs(self.spark, self.fmt, self.index_dir)
+            self._registry_tombstones = None if t is None else t.select("doc_id")
+        return self._registry_tombstones
 
     def exclude_tombstones(self, df: DataFrame) -> DataFrame:
         """Anti-join `df` (any doc_id-carrying frame) against the deleted

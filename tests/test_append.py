@@ -356,6 +356,40 @@ def test_append_idempotency_key_noop_on_replay(spark, t1_rows, tmp_path):
         append_index(spark, delta, d, idempotency_key="stream-batch=8")
 
 
+def test_append_idempotency_key_rejects_colliding_new_batch(
+    spark, t1_rows, tmp_path
+):
+    """ADVICE r4 (medium): streaming batch ids restart at 0 when a
+    checkpoint dir is recreated (or a second stream writes to the same
+    index) — a genuinely NEW batch whose key collides with a committed
+    append must RAISE, not silently no-op (that would be data loss)."""
+    from joie_spark.engine import Engine
+    from joie_spark.operators.append import append_index
+    from joie_spark.sources.tables import read_stats
+
+    a, b1, b2 = _split3(t1_rows)
+    d = str(tmp_path / "ix_idem_collide")
+    Engine.build(
+        spark, spark.createDataFrame(a), d, n_buckets=8, docs_per_block=8,
+        block_chunks=1,
+    )
+    append_index(
+        spark, spark.createDataFrame(b1), d, idempotency_key="stream-batch=0"
+    )
+    want = read_stats(d)
+    with pytest.raises(ValueError, match="DIFFERENT input"):
+        append_index(
+            spark, spark.createDataFrame(b2), d, idempotency_key="stream-batch=0"
+        )
+    assert read_stats(d) == want  # nothing was half-applied
+    # the new data is not lost: a fresh (checkpoint-scoped) key appends it
+    append_index(
+        spark, spark.createDataFrame(b2), d,
+        idempotency_key="ckpt2/stream-batch=0",
+    )
+    assert read_stats(d)["N"] > want["N"]
+
+
 def test_compact_refuses_pending_append(spark, t1_rows, tmp_path, monkeypatch):
     from joie_spark.engine import Engine
     from joie_spark.sources.tables import ParquetManifestFormat

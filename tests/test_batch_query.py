@@ -52,6 +52,25 @@ def test_search_many_blocks_path_pruned_still_exact(t1_engine):
         assert got_direct == got
 
 
+def test_search_many_stats_out_releases_persist(t1_engine):
+    """ADVICE r4 (low): the stats_out diagnostics path persists the
+    survivor-block frame; the result must expose it as ._joie_persisted
+    so the caller can release it (instead of leaking a cached DataFrame
+    per diagnostic call for the life of the session)."""
+    stats: dict = {}
+    df = t1_engine.search_many(
+        ["the", "roll OR dice"], k=3, probe_blocks=1, direct_threshold=0,
+        stats_out=stats,
+    )
+    df.collect()
+    assert stats["path"] == "pruned"
+    if stats.get("survivor_blocks", 0) > 0:  # phase 3 ran → handle exposed
+        h = df._joie_persisted
+        assert h.storageLevel.useMemory
+        h.unpersist()
+        assert not h.storageLevel.useMemory
+
+
 def test_search_many_blocks_mode_rejects_phrases(t1_engine):
     with pytest.raises(ValueError, match="phrase"):
         t1_engine.search_many(['"crystal kingdom"'], mode="blocks").collect()

@@ -207,3 +207,43 @@ def test_delete_resume_after_crash(spark, t1_rows, tmp_path, monkeypatch):
     assert read_stats(d)["avgdl"] == ref.index.stats["avgdl"]
     for q in QUERIES[:3]:
         assert _by_conv(eng, q) == _by_conv(ref, q), q
+
+
+def test_delete_resume_rejects_colliding_conv_set(
+    spark, t1_rows, tmp_path, monkeypatch
+):
+    """VERDICT r4 item 4 / ADVICE r4: the resume guard must reject a
+    DIFFERENT conv set even when its count, min and max conv_id all
+    match the pending delete's (the old count:min:max fingerprint let
+    such a set through, silently applying the originally pinned
+    tombstone slice instead of what the caller asked for)."""
+    import pytest
+
+    from joie_spark.engine import Engine
+    from joie_spark.operators.delete import delete_convs
+    from joie_spark.sources.tables import ParquetManifestFormat
+
+    convs = sorted({r["conv_id"] for r in t1_rows})
+    target = [convs[10], convs[11], convs[20]]
+    collider = [convs[10], convs[12], convs[20]]  # same count/min/max
+    d = str(tmp_path / "ix_del_collide")
+    eng = Engine.build(
+        spark, spark.createDataFrame(t1_rows), d, n_buckets=8,
+        docs_per_block=8, block_chunks=1,
+    )
+
+    real_write = ParquetManifestFormat.write
+
+    def failing_write(self, df, index_dir, table, partition_by=(), subunit=None):
+        if table == "term_dict" and subunit and subunit != "gen=0":
+            raise RuntimeError("injected crash mid-delete")
+        return real_write(self, df, index_dir, table, partition_by, subunit)
+
+    monkeypatch.setattr(ParquetManifestFormat, "write", failing_write)
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.delete(target)
+    monkeypatch.setattr(ParquetManifestFormat, "write", real_write)
+
+    with pytest.raises(ValueError, match="fingerprint"):
+        delete_convs(spark, collider, d)
+    eng.delete(target)  # the true set still resumes fine
