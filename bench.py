@@ -207,6 +207,46 @@ def main() -> None:
                 round(time.time() - t0, 3)
             )
         single_sec = min(spreads["engine_single_query"])
+        # stopword-phrase A/B (VERDICT r4 item 2): '"the dup"' has an
+        # extreme df spread in this corpus (the ~3.9k vs dup 250), so the
+        # rarest-term broadcast semi-join seed engages on the default
+        # path; the noseed twin (ratio ∞) measures the unpruned scan
+        import joie_spark.operators.query as _qmod
+
+        stopword_q = '"the dup"'
+        n_hits = len(eng.search(stopword_q, k=10).collect())  # warm + sanity
+        for _rep in range(REPS):
+            t0 = time.time()
+            eng.search(stopword_q, k=10).collect()
+            spreads.setdefault("engine_phrase_stopword", []).append(
+                round(time.time() - t0, 3)
+            )
+            _qmod.PHRASE_SEED_DF_RATIO, _sav = float("inf"), _qmod.PHRASE_SEED_DF_RATIO
+            t0 = time.time()
+            n2 = len(eng.search(stopword_q, k=10).collect())
+            _qmod.PHRASE_SEED_DF_RATIO = _sav
+            spreads.setdefault("engine_phrase_stopword_noseed", []).append(
+                round(time.time() - t0, 3)
+            )
+            assert n2 == n_hits
+        timings["engine_phrase_stopword"] = min(spreads["engine_phrase_stopword"])
+        timings["engine_phrase_stopword_noseed"] = min(
+            spreads["engine_phrase_stopword_noseed"]
+        )
+        # highlight path (VERDICT r4 item 6): the whole batch with snippet
+        # generation — joie's signature output (reference README.md:5);
+        # highlighting stays post-top-k (plan audit highlight_after_topk)
+        eng.search_many_highlighted(batch[:5], k=10).collect()  # warm
+        for _rep in range(REPS):
+            t0 = time.time()
+            n_hl = len(eng.search_many_highlighted(batch, k=10).collect())
+            spreads.setdefault("engine_query_batch_highlighted", []).append(
+                round(time.time() - t0, 3)
+            )
+            assert n_hl > 0
+        timings["engine_query_batch_highlighted"] = min(
+            spreads["engine_query_batch_highlighted"]
+        )
         # incremental ingest: append a 10% delta (fresh conv_ids) as one
         # generation — the daily-delta shape (operators/append.py)
         delta = transcripts.limit(n_turns // 10).withColumn(
@@ -217,11 +257,33 @@ def main() -> None:
         eng.append(delta)
         append_sec = time.time() - t0
         timings["engine_append"] = round(append_sec, 3)
+        # delete/compact lifecycle (VERDICT r4 item 5): tombstone 10% of
+        # the ORIGINAL conversations (one metadata transaction — the
+        # target set stays a DataFrame, nothing is collected), then
+        # compact (physical purge + generation collapse).  Single-shot
+        # like build/append: each mutates the index state.
+        targets = (
+            eng.index.doc_meta.select("conv_id")
+            .where(F.col("conv_id").startswith("doc-"))
+            .orderBy("conv_id")
+            .limit(n_turns // 10)
+        )
+        t0 = time.time()
+        eng.delete(targets)
+        delete_sec = time.time() - t0
+        timings["engine_delete"] = round(delete_sec, 3)
+        t0 = time.time()
+        eng.compact()
+        compact_sec = time.time() - t0
+        timings["engine_compact"] = round(compact_sec, 3)
+        n_post = len(eng.search_many(batch[:5], k=10).collect())
+        assert n_post > 0  # the index still answers after the lifecycle
         engine_metrics = {
             "build_turns_per_sec": round(n_turns / build_sec, 1),
             "query_qps": round(len(batch) / query_sec, 3),
             "single_query_sec": round(single_sec, 3),
             "append_turns_per_sec": round(n_delta / append_sec, 1),
+            "delete_turns_per_sec": round((n_turns // 10) / delete_sec, 1),
             "batch_size": len(batch),
             "n_turns": n_turns,
             "pruning": pruning,

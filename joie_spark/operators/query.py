@@ -231,6 +231,19 @@ class Index:
             return df
         return df.join(F.broadcast(t), "doc_id", "left_anti")
 
+    def dfs_for(self, term_ids: set[int]) -> dict[int, int]:
+        """term_id → df for a BOUNDED set of query terms (one filtered
+        dictionary read; the id-keyed twin of lookup_terms)."""
+        ids = sorted(t for t in term_ids if t > 0)
+        if not ids:
+            return {}
+        rows = (
+            self.term_dict.where(F.col("term_id").isin(ids))
+            .select("term_id", "df")
+            .collect()
+        )
+        return {r["term_id"]: r["df"] for r in rows}
+
     def lookup_terms(self, words: list[str]) -> dict[str, tuple[int, int]]:
         """term string → (term_id, df); missing → absent (OOV).
 
@@ -280,11 +293,47 @@ def _adjacency_pred(posmap: Column, ids: tuple[int, ...]) -> Column:
     return F.exists(F.element_at(posmap, key(ids[0])), chain)
 
 
-def _phrase_candidates(ix: Index, unique_ids: set[int]) -> DataFrame:
-    """Turns containing ALL of unique_ids, with per-term position map."""
+# Rarest-term-first seeding engages when the spread between the phrase's
+# hottest and rarest term df crosses this ratio (the scan saved is ~the
+# hot term's share of the postings read) AND the rare term's postings fit
+# a broadcast (its df IS the seed row count, known exactly from the
+# dictionary before any job runs).
+PHRASE_SEED_DF_RATIO = 8.0
+PHRASE_SEED_BROADCAST_MAX = 2_000_000
+
+
+def _phrase_candidates(
+    ix: Index, unique_ids: set[int], dfs: dict[int, int] | None = None
+) -> DataFrame:
+    """Turns containing ALL of unique_ids, with per-term position map.
+
+    Rarest-term-first pruning (VERDICT r4 item 2 — the distributed
+    analogue of the reference seeding phrase evaluation from its smallest
+    posting list, engine/src/query/phrase.rs:48): a stopword phrase like
+    `"the <rare>"` would otherwise shuffle every positional posting of
+    `the` into the count-match groupBy only to drop ~all of it.  When the
+    df spread is extreme (PHRASE_SEED_DF_RATIO) and the rarest term's
+    postings are broadcast-small (df ≤ PHRASE_SEED_BROADCAST_MAX — df is
+    the exact seed size, known from the dictionary), the rare term's
+    (doc_id, turn_idx) set is broadcast and semi-joined against the scan
+    BEFORE the groupBy: the hot term's rows die at the scan side of the
+    shuffle instead of crossing it.  Conjunctive semantics are untouched
+    — every surviving group still requires ALL terms present, and every
+    true candidate contains the rare term by definition."""
+    post = ix.postings_for(unique_ids)
+    ids = sorted(t for t in unique_ids if t > 0)
+    if len(ids) > 1:
+        if dfs is None:
+            dfs = ix.dfs_for(set(ids))
+        known = [t for t in ids if dfs.get(t, 0) > 0]
+        if known:
+            lo_t = min(known, key=lambda t: dfs[t])
+            lo, hi = dfs[lo_t], max(dfs[t] for t in known)
+            if hi >= lo * PHRASE_SEED_DF_RATIO and lo <= PHRASE_SEED_BROADCAST_MAX:
+                seed = ix.postings_for({lo_t}).select(*MATCH_COLS)
+                post = post.join(F.broadcast(seed), MATCH_COLS, "left_semi")
     return (
-        ix.postings_for(unique_ids)
-        .groupBy(*MATCH_COLS)
+        post.groupBy(*MATCH_COLS)
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct("term_id", "positions"))
@@ -295,7 +344,9 @@ def _phrase_candidates(ix: Index, unique_ids: set[int]) -> DataFrame:
     )
 
 
-def eval_match(ix: Index, node: PNode) -> DataFrame:
+def eval_match(
+    ix: Index, node: PNode, dfs: dict[int, int] | None = None
+) -> DataFrame:
     if isinstance(node, PKeywords):
         ids = {t for t in node.ids if t > 0}
         if not ids:
@@ -306,7 +357,7 @@ def eval_match(ix: Index, node: PNode) -> DataFrame:
         if not node.ids or 0 in node.ids:
             return ix.empty_match()
         unique = set(node.ids)
-        cand = _phrase_candidates(ix, unique)
+        cand = _phrase_candidates(ix, unique, dfs)
         if len(node.ids) > 1:
             cand = cand.where(_adjacency_pred(F.col("posmap"), node.ids))
         return cand.select(*MATCH_COLS)
@@ -315,19 +366,19 @@ def eval_match(ix: Index, node: PNode) -> DataFrame:
         if any((not p or 0 in p) for p in node.phrases):
             return ix.empty_match()
         unique = {t for p in node.phrases for t in p}
-        cand = _phrase_candidates(ix, unique)
+        cand = _phrase_candidates(ix, unique, dfs)
         for p in node.phrases:
             if len(p) > 1:
                 cand = cand.where(_adjacency_pred(F.col("posmap"), p))
         return cand.select(*MATCH_COLS)
 
     if isinstance(node, PAnd):
-        dfs = [eval_match(ix, c) for c in node.children]
-        return reduce(lambda a, b: a.join(b, MATCH_COLS, "inner"), dfs)
+        parts = [eval_match(ix, c, dfs) for c in node.children]
+        return reduce(lambda a, b: a.join(b, MATCH_COLS, "inner"), parts)
 
     if isinstance(node, POr):
-        dfs = [eval_match(ix, c) for c in node.children]
-        return reduce(DataFrame.unionByName, dfs).dropDuplicates(MATCH_COLS)
+        parts = [eval_match(ix, c, dfs) for c in node.children]
+        return reduce(DataFrame.unionByName, parts).dropDuplicates(MATCH_COLS)
 
     raise TypeError(type(node))
 
@@ -450,7 +501,8 @@ def search_expr(
     term_of = {w: lut[w][0] for w in lut}
 
     node = lower(expr, term_of, optimize)
-    match = ix.exclude_tombstones(eval_match(ix, node))
+    dfs = {tid: df for tid, df in lut.values()}
+    match = ix.exclude_tombstones(eval_match(ix, node, dfs))
     if where:
         match = match.join(
             ix.turns.where(where).select(*MATCH_COLS), MATCH_COLS, "left_semi"
@@ -460,7 +512,6 @@ def search_expr(
             ix.doc_meta.where(where_doc).select("doc_id"), "doc_id", "left_semi"
         )
     qids = sorted({t for t in plan_term_ids(node) if t > 0})
-    dfs = {tid: df for tid, df in lut.values()}
     return score_matches(ix, match, qids, k, dfs=dfs)
 
 
@@ -468,7 +519,8 @@ def match_set_expr(ix: Index, expr: Expr, optimize: bool = True) -> DataFrame:
     words = sorted({t for lit_ in _literal_texts(expr) for t in tokenize_terms(lit_)})
     lut = ix.lookup_terms(words)
     node = lower(expr, {w: lut[w][0] for w in lut}, optimize)
-    return ix.exclude_tombstones(eval_match(ix, node)).orderBy(*MATCH_COLS)
+    dfs = {tid: df for tid, df in lut.values()}
+    return ix.exclude_tombstones(eval_match(ix, node, dfs)).orderBy(*MATCH_COLS)
 
 
 def _mask_consts(ids: set[int], bitpos: dict[int, int], n_words: int) -> list[int]:

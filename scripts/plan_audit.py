@@ -117,6 +117,32 @@ def main() -> None:
         "docids" in plan_wf and "/postings" not in plan_wf
     )
 
+    # 5b2. rarest-term-first phrase seeding (VERDICT r4 item 2): with an
+    # extreme df spread, the phrase candidate scan must gain EXACTLY ONE
+    # broadcast hash left-semi join (the rare term's match set pruning
+    # the hot term's postings before the count-match groupBy — the
+    # distributed analogue of phrase.rs:48 seed-smallest).  Counted as a
+    # DELTA vs the seed-disabled plan because the scoring stage has its
+    # own semi-join.
+    import joie_spark.operators.query as Qmod
+
+    def _n_bcast_semi(plan_text: str) -> int:
+        return sum(
+            1
+            for ln in plan_text.splitlines()
+            if "BroadcastHashJoin" in ln and "LeftSemi" in ln
+        )
+
+    old_ratio = Qmod.PHRASE_SEED_DF_RATIO
+    Qmod.PHRASE_SEED_DF_RATIO = float("inf")
+    plan_p0 = explain_str(eng.search('"crystal kingdom"', k=5))
+    Qmod.PHRASE_SEED_DF_RATIO = 1.0  # tiny-corpus dfs are not extreme
+    plan_p1 = explain_str(eng.search('"crystal kingdom"', k=5))
+    Qmod.PHRASE_SEED_DF_RATIO = old_ratio
+    results["phrase_rare_seed_broadcast_semi"] = (
+        _n_bcast_semi(plan_p1) == _n_bcast_semi(plan_p0) + 1
+    )
+
     # 5c. ANN write-once scale path (VERDICT r3 item 4): the materialized
     # bucket/cell tables' probe filters are PARTITION pruning — a query
     # opens only its probed buckets' files, never re-signatures the corpus

@@ -104,3 +104,35 @@ def test_hot_terms_are_hot(t1_oracle):
 
         tid = t1_oracle.term_id[stem(w)]
         assert t1_oracle.df[tid] > 0.10 * n
+
+
+def test_phrase_rarest_seed_rank_identity(t1_engine, t1_oracle, monkeypatch):
+    """VERDICT r4 item 2: rarest-term-first phrase seeding (query.py
+    _phrase_candidates) must be invisible in results — forcing the seed
+    ON for every phrase (ratio 1.0) and OFF (ratio ∞) must both equal
+    the oracle, including stopword-phrases where the seed engages for
+    real ('the X' shapes) and dup-term phrases."""
+    import joie_spark.operators.query as Q
+
+    queries = [
+        '"crystal kingdom"',
+        '"roll for insight"',
+        '"the crystal"',
+        '"crystal crystal kingdom"',
+        '"crystal kingdom" AND "roll for insight"',
+    ]
+    for q in queries:
+        want_match = t1_oracle.match_set(q)
+        want_top = t1_oracle.search(q, k=10)
+        for ratio in (1.0, float("inf")):
+            monkeypatch.setattr(Q, "PHRASE_SEED_DF_RATIO", ratio)
+            got_match = {
+                (r["doc_id"], r["turn_idx"])
+                for r in t1_engine.match_set(q).collect()
+            }
+            assert got_match == want_match, (q, ratio)
+            got_top = [
+                (r["doc_id"], r["turn_idx"], r["score"])
+                for r in t1_engine.search(q, k=10).collect()
+            ]
+            assert got_top == want_top, (q, ratio)
