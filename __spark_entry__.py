@@ -6,11 +6,12 @@ conjunctive intersection, union-dedup, phrase adjacency, BM25 top-k) plus
 the training-data pipeline operators (dedup suite, ANN, text analysis)
 over the driver's fixed tables.  Each query has a DuckDB-equivalent
 ``oracle_sql()`` unless the operator is genuinely not SQL-portable
-(the xxhash64 fast paths of MinHash/SimHash and the hyperplane/centroid
-ANN variants) — those get the weaker rows-only check and are
-oracle-tested in pytest instead (tests/test_pipeline.py); the
-``*_portable`` entries run the SAME LSH pipelines on an md5-derived hash
-that DuckDB can evaluate, so the banded-LSH machinery itself IS
+(the xxhash64 fast paths of MinHash/SimHash and the pandas-UDF ANN
+variants) — those get the weaker rows-only check and are oracle-tested
+in pytest instead (tests/test_pipeline.py); the ``*_portable`` entries
+run the SAME pipelines on SQL-expressible arithmetic (md5-derived
+hashes; CAST-literal centroids with left-assoc dot chains), so the
+banded-LSH machinery AND the IVF cell/probe/re-rank shape ARE
 value-checked against the oracle.
 
 All floats are rounded in-query (both sides, identical expressions) so
@@ -351,14 +352,54 @@ def q_ann_lsh_bucketed_portable(spark, sf_dir):
     )
 
 
-def q_ann_ivf_topk(spark, sf_dir):  # rows-only (centroids are iterative —
-    # not SQL-expressible; pytest oracle: tests/test_pipeline.py
-    # test_ivf_recall_and_determinism)
+def q_ann_ivf_topk(spark, sf_dir):  # rows-only (xxhash-free but the
+    # pandas-UDF assignment isn't SQL; pytest oracle: tests/test_pipeline.py
+    # test_ivf_recall_and_determinism; the VALUE oracle for the IVF
+    # pipeline shape is q_ann_ivf_portable below)
     emb = _emb(spark, sf_dir)
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
     rest = emb.where(F.col("vec_id") != 0)
     C = ann.kmeans_centroids(rest, k=16)
     return ann.ivf_topk(rest, qv, C, k=10, nprobe=4)
+
+
+IVF_PORTABLE_CELLS, IVF_PORTABLE_NPROBE = 8, 2
+ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _ivf_portable_params(sf_dir: str):
+    """(centroids, query_vec, probe cells) derived WITHOUT Spark (pyarrow
+    read + the shared numpy k-means core), so queries() and oracle_sql()
+    train bit-identical centroids and probe the same cells.  The driver
+    compares at sf0.01 (ORACLE_SF_DIR); the Spark side uses its sf_dir,
+    which is the same directory in that comparison."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    C = ann.kmeans_centroids_from_parquet(
+        path, k=IVF_PORTABLE_CELLS, exclude_vec_id=0
+    )
+    t = pq.read_table(path, columns=["vec_id", "embedding"]).to_pydict()
+    qv = next(
+        [float(x) for x in e] for v, e in zip(t["vec_id"], t["embedding"]) if v == 0
+    )
+    probe = ann.probe_cells_portable(qv, C, IVF_PORTABLE_NPROBE)
+    return C, qv, probe
+
+
+def q_ann_ivf_portable(spark, sf_dir):
+    """IVF ANN with portable-SQL cell assignment (VERDICT r4 item 3):
+    centroids from the deterministic k-means (injected as CAST literals),
+    per-vector cell = first-index-wins argmax over left-assoc dot chains,
+    nprobe cell filter, exact cosine re-rank — every step reproducible in
+    DuckDB, so the IVF pipeline shape gets a green VALUE row (the
+    pandas-UDF fast path q_ann_ivf_topk keeps its rows-only + pytest
+    oracle)."""
+    C, qv, _probe = _ivf_portable_params(sf_dir)
+    emb = _emb(spark, sf_dir)
+    return ann.ivf_topk_portable(
+        emb.where(F.col("vec_id") != 0), qv, C, k=10, nprobe=IVF_PORTABLE_NPROBE
+    )
 
 
 def q_quality_score(spark, sf_dir):
@@ -506,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "ann_lsh_bucketed_portable": q_ann_lsh_bucketed_portable,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_portable": q_ann_ivf_portable,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -533,6 +575,37 @@ _BATCH_UNION = " UNION ALL ".join(
 )
 _MARKERS = ",".join(f"'{m}'" for m in ["the", "a", "and", "of", "to", "is", "in", "that"])
 _TERMS3 = ",".join(f"'{t}'" for t in BM25_TERMS)
+
+
+def _ann_ivf_portable_oracle() -> str:
+    """DuckDB twin of q_ann_ivf_portable: identical centroid literals
+    (kmeans_centroids_from_parquet — no Spark needed), identical
+    left-assoc dot chains and first-index-wins argmax CASE, same probe
+    cell list, exact cosine re-rank."""
+    C, _qv, probe = _ivf_portable_params(ORACLE_SF_DIR)
+    elem = "{v}[{i}]::DOUBLE"
+    d_cols = ",\n                   ".join(
+        f"{ann.portable_dot_sql(C[c], 'e.embedding', elem)} AS d{c}"
+        for c in range(len(C))
+    )
+    case = ann.portable_argmax_case(len(C))
+    probe_sql = ", ".join(str(int(p)) for p in probe)
+    return f"""
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            d AS (SELECT e.vec_id, e.embedding,
+                   {d_cols}
+                  FROM embeddings e WHERE e.vec_id != 0),
+            cand AS (SELECT vec_id, embedding FROM d
+                     WHERE {case} IN ({probe_sql})),
+            p AS (
+              SELECT c.vec_id,
+                list_sum(list_transform(generate_series(1, len(c.embedding)),
+                         i -> c.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)) AS dot,
+                sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE))) AS na,
+                sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE))) AS nb
+              FROM cand c CROSS JOIN q)
+            SELECT vec_id, round(dot/(na*nb), 4) AS cos FROM p
+            ORDER BY dot/(na*nb) DESC, vec_id LIMIT 10"""
 
 
 def _ann_portable_oracle() -> str:
@@ -742,6 +815,7 @@ def oracle_sql() -> dict[str, str]:
                   > 0.02""",
         "minhash_lsh_portable": _minhash_portable_oracle(),
         "ann_lsh_bucketed_portable": _ann_portable_oracle(),
+        "ann_ivf_portable": _ann_ivf_portable_oracle(),
         "simhash_portable": _simhash_portable_oracle(),
         "embedding_neardup": """
             WITH p AS (

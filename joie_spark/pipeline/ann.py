@@ -306,6 +306,93 @@ def lsh_bucketed_topk_portable(
 
 
 # ---------------------------------------------------------------------------
+# SQL-portable IVF (DuckDB-oracle-checkable, VERDICT r4 item 3)
+
+
+def portable_dot_sql(coeffs, vec_sql: str, elem_fmt: str) -> str:
+    """dot(vec, coeffs) as a LEFT-ASSOC chain of binary additions
+    (0.0 + (e[1]*c1) + (e[2]*c2) + …) — the same float64 sequence on any
+    engine that folds a +-chain left-to-right (Spark SQL and DuckDB both
+    do; the proven recipe of portable_signature_sql).  Coefficients are
+    CAST(repr AS DOUBLE) literals: a bare decimal literal would parse as
+    DECIMAL in Spark SQL and break float parity."""
+    terms = " ".join(
+        f"+ ({elem_fmt.format(v=vec_sql, i=j + 1)} * CAST({float(c)!r} AS DOUBLE))"
+        for j, c in enumerate(coeffs)
+    )
+    return f"(0.0 {terms})"
+
+
+def portable_argmax_case(n: int, col_fmt: str = "d{i}") -> str:
+    """First-index-wins argmax over n pre-computed columns as a CASE
+    chain: clause i fires iff d_i >= d_j for every j > i (earlier clauses
+    already excluded any j < i with d_j > d_i) — exactly np.argmax's tie
+    behavior, identical on both engines because it compares the SAME
+    materialized doubles."""
+    clauses = []
+    for i in range(n - 1):
+        cond = " AND ".join(
+            f"{col_fmt.format(i=i)} >= {col_fmt.format(i=j)}"
+            for j in range(i + 1, n)
+        )
+        clauses.append(f"WHEN {cond} THEN {i}")
+    return "(CASE " + " ".join(clauses) + f" ELSE {n - 1} END)"
+
+
+def probe_cells_portable(
+    query_vec: list[float], C: np.ndarray, nprobe: int
+) -> list[int]:
+    """The query's nprobe nearest cells, dots computed with the SAME
+    left-assoc float64 fold as portable_dot_sql and ties broken
+    first-index-wins — so the probe list is what either engine would
+    compute for the query row."""
+    dots = []
+    for c in range(C.shape[0]):
+        s = 0.0
+        for j in range(C.shape[1]):
+            s = s + float(query_vec[j]) * float(C[c, j])
+        dots.append(s)
+    order = sorted(range(len(dots)), key=lambda c: (-dots[c], c))
+    return order[: int(nprobe)]
+
+
+def ivf_topk_portable(
+    emb: DataFrame,
+    query_vec: list[float],
+    C: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN with the cell assignment expressed in portable SQL — the
+    oracle-checkable twin of ivf_topk (same pipeline shape: coarse
+    quantize → nprobe cell filter → exact cosine re-rank).  The centroid
+    matrix is injected as CAST literals, per-vector cell = argmax over
+    left-assoc dot chains, so a SQL oracle fed the same centroids
+    computes bit-identical cells.  Recall < 1 by construction, like the
+    pandas-UDF fast path; value-correctness vs the oracle is the point."""
+    n_cells = C.shape[0]
+    spark_elem = "CAST(element_at({v}, {i}) AS DOUBLE)"
+    d_cols = [
+        F.expr(portable_dot_sql(C[c], "embedding", spark_elem)).alias(f"d{c}")
+        for c in range(n_cells)
+    ]
+    probe = probe_cells_portable(query_vec, C, nprobe)
+    cand = (
+        emb.select("vec_id", "embedding", *d_cols)
+        .withColumn("ivf_cell", F.expr(portable_argmax_case(n_cells)))
+        .where(F.col("ivf_cell").isin(probe))
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_expr(F.col("embedding"), q)
+    return (
+        cand.select("vec_id", sim.alias("sim_raw"))
+        .orderBy(F.desc("sim_raw"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("sim_raw", 4).alias("cos"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # write-once materialized buckets (the 100 TB shape, VERDICT r3 item 4)
 
 ANN_META = "_ann_meta.json"
@@ -414,6 +501,25 @@ def ivf_topk_materialized(
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 
 
+def _kmeans_core(X: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Deterministic spherical k-means over an in-memory sample — shared
+    by the Spark-collected and parquet-read training paths so both
+    produce the bit-identical centroid matrix (the IVF portable oracle
+    depends on that)."""
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(k, len(X))
+    # deterministic init: evenly spaced rows of the vec_id-sorted sample
+    C = X[np.linspace(0, len(X) - 1, k).astype(int)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.sum(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
 def kmeans_centroids(
     emb: DataFrame,
     k: int = 16,
@@ -433,18 +539,32 @@ def kmeans_centroids(
     if not rows:
         raise ValueError("cannot train centroids on an empty DataFrame")
     X = np.asarray([np.asarray(r[col], dtype=np.float64) for r in rows])
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    k = min(k, len(X))
-    # deterministic init: evenly spaced rows of the vec_id-sorted sample
-    C = X[np.linspace(0, len(X) - 1, k).astype(int)].copy()
-    for _ in range(iters):
-        assign = np.argmax(X @ C.T, axis=1)
-        for c in range(k):
-            members = X[assign == c]
-            if len(members):
-                C[c] = members.sum(axis=0)
-        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-    return C
+    return _kmeans_core(X, k, iters)
+
+
+def kmeans_centroids_from_parquet(
+    path: str,
+    k: int = 16,
+    iters: int = 8,
+    sample: int = 4096,
+    col: str = "embedding",
+    exclude_vec_id: int | None = None,
+) -> np.ndarray:
+    """Spark-free twin of kmeans_centroids (pyarrow read + the same
+    _kmeans_core): lets an oracle-SQL generator train the IDENTICAL
+    centroids without a SparkSession.  float32 parquet values widen to
+    float64 exactly on both read paths, so the matrices agree bitwise."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["vec_id", col]).to_pydict()
+    rows = sorted(zip(t["vec_id"], t[col]))
+    if exclude_vec_id is not None:
+        rows = [(v, e) for v, e in rows if v != exclude_vec_id]
+    rows = rows[: int(sample)]
+    if not rows:
+        raise ValueError(f"no vectors in {path}")
+    X = np.asarray([np.asarray(e, dtype=np.float64) for _v, e in rows])
+    return _kmeans_core(X, k, iters)
 
 
 def make_ivf_assign_udf(C: np.ndarray):

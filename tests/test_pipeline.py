@@ -339,6 +339,51 @@ def test_ivf_recall_and_determinism(spark):
         ann.kmeans_centroids(emb.where(F.col("vec_id") < 0), k=4)
 
 
+def test_ivf_portable_matches_fast_cells_and_parquet_training(spark, tmp_path):
+    """VERDICT r4 item 3 plumbing: (a) the parquet-trained centroids are
+    bit-identical to the Spark-trained ones on the same data; (b) the
+    portable SQL cell assignment agrees with the pandas-UDF argmax
+    everywhere (ties are absent in gaussian data; both are
+    first-index-wins); (c) every ivf_topk_portable hit carries the exact
+    cosine of the full ranking."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(150)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "emb.parquet")
+    emb.write.parquet(path)
+
+    C_spark = ann.kmeans_centroids(emb, k=8, sample=512)
+    C_pq = ann.kmeans_centroids_from_parquet(path, k=8, sample=512)
+    assert (C_spark == C_pq).all()
+
+    fast = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in ann.add_ivf_cells(spark.read.parquet(path), C_pq).collect()
+    }
+    spark_elem = "CAST(element_at({v}, {i}) AS DOUBLE)"
+    d_cols = [
+        F.expr(ann.portable_dot_sql(C_pq[c], "embedding", spark_elem)).alias(f"d{c}")
+        for c in range(8)
+    ]
+    portable = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(path)
+        .select("vec_id", *d_cols)
+        .selectExpr("vec_id", f"{ann.portable_argmax_case(8)} AS cell")
+        .collect()
+    }
+    assert portable == fast
+
+    qv = rows[3][1]
+    exact = {r["vec_id"]: r["cos"] for r in ann.cosine_topk(emb, qv, 150).collect()}
+    hits = ann.ivf_topk_portable(emb, qv, C_pq, k=10, nprobe=2).collect()
+    assert 0 < len(hits) <= 10
+    for r in hits:
+        assert exact[r["vec_id"]] == r["cos"]
+
+
 def test_multimodal_feature_plumbing(spark):
     media = multimodal.synthetic_media(spark, n=12)
     feats = multimodal.extract_features(media, dim=8).collect()
