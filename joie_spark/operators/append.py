@@ -356,9 +356,16 @@ def append_index(
 
     # ---- stats + commit ---------------------------------------------------------
     n_terms = new_dict.count()
+    # re-derived from doc_meta (already holds the committed delta rows)
+    # rather than carried through locals, so a resumed append that skipped
+    # the turns stage still lands the right doc-slot count
+    max_doc = (
+        fmt.read(spark, index_dir, "doc_meta").agg(F.max("doc_id")).collect()[0][0]
+    )
     stats.update(
         {
             "N": new_n,
+            "n_docs": int(max_doc) + 1,
             "total_dl": new_total_dl,
             "avgdl": new_avgdl,
             "n_terms": n_terms,

@@ -436,7 +436,11 @@ def _blocks_path(
     # candidate block in ONE pass instead (still the compressed index,
     # still exact).  At 10^12 turns total_blocks is ~10^10 and the WAND
     # phases below are mandatory.
-    total_blocks = -(-int(ix.stats["N"]) // int(ix.stats["docs_per_block"]))
+    # block_id ranges over DOCS (conversations), not turns — ix.n_docs,
+    # not stats["N"] (~a dozen turns per doc ⇒ the old N-based estimate
+    # overstated the block count ~12× and mis-routed mid-size indexes
+    # into the 3-phase pruning machinery)
+    total_blocks = ix.total_blocks
     if total_blocks <= direct_threshold:
         if stats_out is not None:
             stats_out.update({"path": "direct", "total_blocks": total_blocks})
@@ -608,7 +612,7 @@ def search_many(
     if mode == "postings":
         phrase_items, flat_items = items, []
     elif mode == "auto" and flat_items and phrase_items:
-        total_blocks = -(-int(ix.stats["N"]) // int(ix.stats["docs_per_block"]))
+        total_blocks = ix.total_blocks
         if total_blocks <= direct_threshold:
             # tiny index AND the positional postings scan is already being
             # paid for the phrase queries: folding the flat queries into

@@ -511,13 +511,18 @@ def build_from_turns(
     if not man.is_done("stats"):
         t0 = time.time()
         agg = turns.agg(
-            F.count("*").alias("n"), F.sum("dl").alias("total_dl")
+            F.count("*").alias("n"),
+            F.sum("dl").alias("total_dl"),
+            F.max("doc_id").alias("max_doc"),
         ).collect()[0]
         n_terms = fmt.read(spark, index_dir, "term_dict").count()
         write_stats(
             index_dir,
             {
                 "N": agg["n"],
+                # doc-id slots (docs ≠ turns): the block-count denominator
+                # — block_id = doc_id // docs_per_block ranges over DOCS
+                "n_docs": int(agg["max_doc"]) + 1,
                 "total_dl": agg["total_dl"],
                 "avgdl": agg["total_dl"] / agg["n"],
                 "n_terms": n_terms,

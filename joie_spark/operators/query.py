@@ -168,6 +168,29 @@ class Index:
             self._doc_meta = self.fmt.read(self.spark, self.index_dir, "doc_meta")
         return self._doc_meta
 
+    @property
+    def n_docs(self) -> int:
+        """Number of doc-id slots (max doc_id + 1; dense ids start at 1,
+        slot 0 is unused) — the denominator for the index's block count
+        (block_id = doc_id // docs_per_block, build.py:323).  Distinct from stats["N"], which counts TURNS (the
+        BM25 scoring unit): a doc (conversation) holds ~a dozen turns, so
+        deriving the block count from N overestimates it by that factor
+        and mis-routes the batch path (direct vs pruned).  Stored in
+        stats since the fix; computed once from doc_meta for indexes
+        built before it.  Stays a valid bound after delete/compact —
+        dense ids are never reassigned, only retired."""
+        v = self.stats.get("n_docs")
+        if v is None:
+            v = int(
+                self.doc_meta.agg(F.max("doc_id")).collect()[0][0] or 0
+            ) + 1
+            self.stats["n_docs"] = v
+        return int(v)
+
+    @property
+    def total_blocks(self) -> int:
+        return -(-self.n_docs // int(self.stats["docs_per_block"]))
+
     def _live_gens(self, df: DataFrame) -> DataFrame:
         """Partition-prune postings/blocks to the COMMITTED generations
         (stats.post_gens).  A generation a crashed append/compact half

@@ -55,6 +55,9 @@ def appended(spark, t1_rows, tmp_path_factory):
 def test_append_equals_full_rebuild(appended):
     full, inc = appended
     assert full.index.stats["N"] == inc.index.stats["N"]
+    # n_docs (the block-count denominator) tracks appends: dense doc ids
+    # continue from the base index's max, so both routes agree
+    assert full.index.stats["n_docs"] == inc.index.stats["n_docs"] == 51
     assert full.index.stats["avgdl"] == inc.index.stats["avgdl"]
     assert full.index.stats["n_terms"] == inc.index.stats["n_terms"]
     for q in QUERIES:

@@ -71,6 +71,32 @@ def test_search_many_stats_out_releases_persist(t1_engine):
         assert not h.storageLevel.useMemory
 
 
+def test_block_count_derives_from_docs_not_turns(t1_engine):
+    """Routing regression: block_id = doc_id // docs_per_block ranges over
+    DOCS (conversations), so the direct-vs-pruned threshold must compare
+    against ceil(n_docs / docs_per_block).  The t1 corpus (50 convs, ~650
+    turns, dpb=8) has 7 real blocks; the old turn-based estimate said ~81
+    and would mis-route a threshold of 40 into the 3-phase machinery."""
+    ix = t1_engine.index
+    assert ix.doc_meta.count() == 50
+    assert ix.n_docs == 51  # dense ids start at 1 → 51 slots
+    assert ix.total_blocks == -(-51 // 8) == 7
+    assert ix.stats["n_docs"] == 51  # persisted at build, not recomputed
+
+    stats: dict = {}
+    t1_engine.search_many(
+        ["the", "roll OR dice"], k=3, mode="blocks", direct_threshold=40,
+        stats_out=stats,
+    ).collect()
+    assert stats["path"] == "direct"
+    assert stats["total_blocks"] == 7
+
+    # pre-fix indexes have no n_docs stat → derived once from doc_meta
+    ix.stats.pop("n_docs")
+    assert ix.n_docs == 51
+    assert ix.stats["n_docs"] == 51  # cached back
+
+
 def test_search_many_blocks_mode_rejects_phrases(t1_engine):
     with pytest.raises(ValueError, match="phrase"):
         t1_engine.search_many(['"crystal kingdom"'], mode="blocks").collect()
