@@ -27,8 +27,10 @@ the batch path now runs on it:
            query, take top-k → per-query threshold θ_q = its k-th best
            exact score.  Queries whose entire candidate-block set fit in
            the probe are FINISHED here (their probe top-k is exact).
-  phase 3  for the remaining queries, decode only blocks with
-           ub_q(b) ≥ θ_q for some unfinished q, re-score, top-k.
+  phase 3  for the remaining queries, decode only NEW blocks — ub_q(b) ≥
+           θ_q for some unfinished q and not already decoded by the probe
+           (probe scores are exact and their non-top-k rows are totally
+           ordered out) — then merge probe top-k ∪ fresh top-k per query.
 
 Soundness (same invariant as operators/wand.py, Ding & Suel 2011): every
 turn's score in block b is ≤ ub_q(b); θ_q is an attained k-th best score,
@@ -53,6 +55,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from ..functions.codec import TURN_BITS, delta_decode, varint_decode
 from ..oracle import B, K1, bm25_idf
@@ -498,10 +501,19 @@ def _blocks_path(
         stats_out["finished_after_probe"] = len(items) - len(unfinished)
     if not unfinished:
         if stats_out is not None:
-            stats_out["survivor_blocks"] = 0
+            stats_out["decoded_after_probe"] = 0
+            stats_out["survivor_blocks"] = len(probe_ids)
         return finished_df
 
-    # phase 3: decode only blocks an unfinished query cannot prune
+    # phase 3: decode only blocks an unfinished query cannot prune — and
+    # never the probed blocks again.  The probe pass already scored them
+    # EXACTLY: a turn's whole q-score lives in one block (block_id is a
+    # function of doc_id alone, so all of a turn's terms share a block),
+    # and any probed row outside its query's probe top-k is totally
+    # ordered below all k kept rows ((score desc, doc, turn) — the same
+    # order the final top-k uses), so it can never re-enter.  Decoding =
+    # varint work; the probe set has the top-ub blocks and is usually a
+    # survivor superset, so skipping it roughly halves the pruned path.
     theta_sql = "map({})".format(
         ", ".join(
             f"{qid}, {NEG_INF_SQL if theta[qid] == float('-inf') else f'CAST({theta[qid]!r} AS DOUBLE)'}"
@@ -513,6 +525,7 @@ def _blocks_path(
         .where(F.col("ub") >= F.expr(f"element_at({theta_sql}, query_id)"))
         .select("block_id")
         .distinct()
+        .where(~F.col("block_id").isin(probe_ids))
     )
     if stats_out is not None:
         # persisted so the diagnostic count and the final-decode semi-join
@@ -520,14 +533,33 @@ def _blocks_path(
         # for caller-controlled release (ADVICE r4 — unpersisting here,
         # before the caller materializes the result, would defeat it)
         surv = surv.persist()
-        stats_out["survivor_blocks"] = surv.count()
+        stats_out["decoded_after_probe"] = surv.count()
+        stats_out["survivor_blocks"] = (
+            stats_out["decoded_after_probe"] + len(probe_ids)
+        )
+    unfinished_probe_rows = [
+        r for qid, _n, _q in unfinished for r in by_q.get(qid, [])
+    ]
     unf_ids = sorted({t for _q, _n, qids in unfinished for t in qids})
     final_blocks = _blocks_meta_for(ix, unf_ids).join(surv, "block_id", "left_semi")
     final_cand = _apply_filters(
         _cand_from_blocks(final_blocks, bitpos, n_words), ix, where, where_doc
     )
-    final_df = _topk_from_cand(
+    fresh_df = _topk_from_cand(
         final_cand, unfinished, idf, avgdl, bitpos, n_words, k
+    )
+    # merge probe top-k with the freshly decoded blocks' top-k: ≤ 2k rows
+    # per query (bounded by 2·k·Q — not a scale hazard), one tiny window
+    merged = fresh_df.unionByName(
+        spark.createDataFrame(unfinished_probe_rows, OUT_SCHEMA)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"), F.asc("turn_idx")
+    )
+    final_df = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
     )
     out = finished_df.unionByName(final_df)
     if stats_out is not None:

@@ -64,8 +64,8 @@ def test_search_many_stats_out_releases_persist(t1_engine):
     )
     df.collect()
     assert stats["path"] == "pruned"
-    if stats.get("survivor_blocks", 0) > 0:  # phase 3 ran → handle exposed
-        h = df._joie_persisted
+    h = getattr(df, "_joie_persisted", None)
+    if h is not None:  # phase 3 ran → handle exposed
         assert h.storageLevel.useMemory
         h.unpersist()
         assert not h.storageLevel.useMemory
