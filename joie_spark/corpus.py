@@ -184,8 +184,20 @@ SIZES = {"t1": 50, "t2": 1000, "bench": 50000}
 # (seed, conv_index) and is generated independently.
 
 
-def generate_conv_rows(ci: int, seed: int = 42, avg_turns: int = 12) -> list[dict]:
-    """All turns of conversation `ci` — pure function of (seed, ci)."""
+def generate_conv_rows(
+    ci: int, seed: int = 42, avg_turns: int = 12, burstiness: float = 0.0
+) -> list[dict]:
+    """All turns of conversation `ci` — pure function of (seed, ci).
+
+    `burstiness` (default 0 — golden fixtures pin the 0 output) adds
+    term burstiness: with that probability a body token REPEATS an
+    earlier token of the same turn instead of a fresh Zipf draw.  Real
+    corpora are bursty (a term that appears once in a document tends to
+    appear again — Church & Gale 1995), which is what gives BM25 a
+    skewed tf distribution and block-max WAND its pruning headroom; the
+    iid draw's tf≈1-everywhere makes every block's max_part near the
+    global max and θ can exclude almost nothing (measured:
+    BENCH/PRUNING_CROSSOVER.md)."""
     rng = random.Random((seed << 32) ^ (ci * 0x9E3779B9))
     body, rare = _lemmas()
     cdf = _zipf_cdf(len(body))
@@ -195,11 +207,24 @@ def generate_conv_rows(ci: int, seed: int = 42, avg_turns: int = 12) -> list[dic
     for ti in range(n_turns):
         n_tok = max(3, min(120, int(rng.lognormvariate(0, 0.7) * 14)))
         toks: list[str] = []
+        body_toks: list[str] = []
         for _ in range(n_tok):
             if rng.random() < 0.35:
                 toks.append(HOT_TERMS[rng.randrange(len(HOT_TERMS))])
+            elif (
+                burstiness > 0.0  # must SHORT-CIRCUIT before the rng call:
+                # an extra draw at burstiness=0 would shift the whole
+                # stream and break the pinned golden fixtures
+                and body_toks
+                and rng.random() < burstiness
+            ):
+                t = body_toks[rng.randrange(len(body_toks))]
+                toks.append(t)
+                body_toks.append(t)
             else:
-                toks.append(body[_sample_zipf(rng, cdf)])
+                t = body[_sample_zipf(rng, cdf)]
+                toks.append(t)
+                body_toks.append(t)
         if ci % 7 == 0 and ti == 1:
             mid = len(toks) // 2
             toks[mid:mid] = PHRASE_POS.split()
@@ -223,7 +248,9 @@ def generate_conv_rows(ci: int, seed: int = 42, avg_turns: int = 12) -> list[dic
     return rows
 
 
-def spark_write_corpus(spark, path: str, n_convs: int, seed: int = 42) -> int:
+def spark_write_corpus(
+    spark, path: str, n_convs: int, seed: int = 42, burstiness: float = 0.0
+) -> int:
     """Generate the corpus in parallel with Spark (mapInPandas over conv
     index ranges) and write parquet.  Deterministic content independent of
     partitioning (per-conv seeds)."""
@@ -239,7 +266,7 @@ def spark_write_corpus(spark, path: str, n_convs: int, seed: int = 42) -> int:
         for pdf in batches:
             out = []
             for ci in pdf["id"]:
-                out.extend(generate_conv_rows(int(ci), seed))
+                out.extend(generate_conv_rows(int(ci), seed, burstiness=burstiness))
             yield pd.DataFrame(out)
 
     par = spark.sparkContext.defaultParallelism * 2
