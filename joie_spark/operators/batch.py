@@ -84,14 +84,35 @@ NEG_INF_SQL = "CAST('-Infinity' AS DOUBLE)"
 # shared SQL generation (one F.expr per stage — no per-query py4j trees)
 
 
-def _matched_sql(items: list[tuple[int, PNode, list[int]]], bitpos, n_words) -> str:
+def _matched_sql(
+    items: list[tuple[int, PNode, list[int]]],
+    bitpos,
+    n_words,
+    allowed_blocks: dict[int, list[int]] | None = None,
+    dpb: int | None = None,
+) -> str:
     """array of (query_id, matched?) structs filtered to matches — every
     query's boolean predicate evaluated over one candidate row's presence
-    bitmask (+ posmap for phrase terms, postings path only)."""
+    bitmask (+ posmap for phrase terms, postings path only).
+
+    `allowed_blocks` (with `dpb`) restricts each query to ITS OWN block
+    list — the probe phase's per-query exactness mask: a probed block is
+    only decoded for the queries probing it, so a query scoring rows in
+    a block another query probed would see PARTIAL tf maps; the mask
+    removes those rows from that query's view instead."""
+    def pred(qid, node) -> str:
+        p = f"({_batch_pred_sql(node, bitpos, n_words)})"
+        if allowed_blocks is not None:
+            blks = ", ".join(f"{int(b)}L" for b in allowed_blocks.get(qid, []))
+            p += (
+                f" AND array_contains(array({blks}),"
+                f" CAST(FLOOR(doc_id / {int(dpb)}) AS BIGINT))"
+            )
+        return p
+
     return "filter(array({}), x -> x.m)".format(
         ", ".join(
-            f"named_struct('query_id', {qid}, 'm',"
-            f" ({_batch_pred_sql(node, bitpos, n_words)}))"
+            f"named_struct('query_id', {qid}, 'm', {pred(qid, node)})"
             for qid, node, _qids in items
         )
     )
@@ -175,7 +196,15 @@ def _apply_filters(
 
 
 def _topk_from_cand(
-    cand: DataFrame, items, idf, avgdl: float, bitpos, n_words, k: int
+    cand: DataFrame,
+    items,
+    idf,
+    avgdl: float,
+    bitpos,
+    n_words,
+    k: int,
+    allowed_blocks: dict[int, list[int]] | None = None,
+    dpb: int | None = None,
 ) -> DataFrame:
     """candidates (doc_id, turn_idx, dl, tfmap, [posmap,] m0..mW) →
     (query_id, doc_id, turn_idx, score) top-k per query, unordered."""
@@ -184,7 +213,9 @@ def _topk_from_cand(
         "turn_idx",
         "tfmap",
         "dl",
-        F.explode(F.expr(_matched_sql(items, bitpos, n_words))).alias("e"),
+        F.explode(
+            F.expr(_matched_sql(items, bitpos, n_words, allowed_blocks, dpb))
+        ).alias("e"),
     ).select(
         F.col("e.query_id").alias("query_id"),
         "doc_id",
@@ -469,13 +500,40 @@ def _blocks_path(
     if not probe_ids:
         return spark.createDataFrame([], OUT_SCHEMA)
 
-    # phase 2: decode probe blocks, exact-score all queries → θ
-    probe_blocks_df = blocks_meta.where(F.col("block_id").isin(probe_ids))
+    # phase 2: decode each query's OWN probe blocks, exact-score → θ.
+    # Restricting the decode to the probed (term_id, block_id) pairs —
+    # not the probe-block UNION × all batch terms — is what keeps the
+    # probe from degenerating into decode-all for large batches (the
+    # union of 100+ queries' top-P blocks covers nearly every block; the
+    # pair set stays Q·P·|q|).  Exactness per query is preserved by the
+    # allowed_blocks mask in the matched predicate: a query only sees
+    # rows from blocks probed FOR IT, where all of its terms decoded.
+    dpb = int(ix.stats["docs_per_block"])
+    probe_of = {qid: [int(b) for b in top.get(qid, ([], 0))[0]] for qid, _n, _q in items}
+    probe_tb = sorted(
+        {
+            (int(t), int(b))
+            for qid, _n, qids in items
+            for b in probe_of[qid]
+            for t in qids
+        }
+    )
+    if stats_out is not None:
+        stats_out["probed_tb_pairs"] = len(probe_tb)
+    probe_pairs_df = spark.createDataFrame(
+        probe_tb, "term_id long, block_id long"
+    )
+    probe_blocks_df = blocks_meta.join(
+        F.broadcast(probe_pairs_df), ["term_id", "block_id"], "left_semi"
+    )
     probe_cand = _apply_filters(
         _cand_from_blocks(probe_blocks_df, bitpos, n_words), ix, where, where_doc
     )
     probe_rows = (
-        _topk_from_cand(probe_cand, items, idf, avgdl, bitpos, n_words, k)
+        _topk_from_cand(
+            probe_cand, items, idf, avgdl, bitpos, n_words, k,
+            allowed_blocks=probe_of, dpb=dpb,
+        )
         .orderBy("query_id", F.desc("score"), F.asc("doc_id"), F.asc("turn_idx"))
         .collect()
     )
@@ -505,35 +563,71 @@ def _blocks_path(
             stats_out["survivor_blocks"] = len(probe_ids)
         return finished_df
 
-    # phase 3: decode only blocks an unfinished query cannot prune — and
-    # never the probed blocks again.  The probe pass already scored them
-    # EXACTLY: a turn's whole q-score lives in one block (block_id is a
-    # function of doc_id alone, so all of a turn's terms share a block),
-    # and any probed row outside its query's probe top-k is totally
-    # ordered below all k kept rows ((score desc, doc, turn) — the same
-    # order the final top-k uses), so it can never re-enter.  Decoding =
-    # varint work; the probe set has the top-ub blocks and is usually a
-    # survivor superset, so skipping it roughly halves the pruned path.
+    # phase 3: decode only (q, b) pairs the query cannot prune — and for
+    # each query, never ITS OWN probed blocks again.  The probe pass
+    # scored those EXACTLY (a turn's whole q-score lives in one block —
+    # block_id is a function of doc_id alone — and the per-query mask
+    # guarantees full decode), and any probed row outside the query's
+    # probe top-k is totally ordered below all k kept rows under the
+    # same (score desc, doc, turn) order the final top-k uses, so it can
+    # never re-enter.
     theta_sql = "map({})".format(
         ", ".join(
             f"{qid}, {NEG_INF_SQL if theta[qid] == float('-inf') else f'CAST({theta[qid]!r} AS DOUBLE)'}"
             for qid, _n, _q in unfinished
         )
     )
-    surv = (
+    probe_map_sql = "map({})".format(
+        ", ".join(
+            "{}, array({})".format(
+                qid, ", ".join(f"{b}L" for b in probe_of[qid])
+            )
+            for qid, _n, _q in unfinished
+        )
+    )
+    # survivors at PAIR granularity, then down to the decode unit — the
+    # (term_id, block_id) posting-block: decode (t, b) iff some surviving
+    # (q, b) has t ∈ q.  A distinct-block union would erase per-query
+    # pruning for large batches (any block kept by ONE query decodes for
+    # all); per-(t,b) pruning keeps the win.  Partial scores this creates
+    # for a query that PRUNED b are safe: partial ≤ full ≤ ub_q(b) < θ_q,
+    # strictly below the k probe rows it would have to displace.
+    qterms_sql = "map({})".format(
+        ", ".join(
+            f"{qid}, array({', '.join(str(int(t)) + 'L' for t in qids)})"
+            for qid, _n, qids in unfinished
+        )
+    )
+    surv_pairs = (
         ub.where(F.col("query_id").isin([qid for qid, _n, _q in unfinished]))
         .where(F.col("ub") >= F.expr(f"element_at({theta_sql}, query_id)"))
-        .select("block_id")
+        .where(
+            ~F.expr(
+                f"array_contains(element_at({probe_map_sql}, query_id),"
+                " block_id)"
+            )
+        )
+    )
+    surv = (
+        surv_pairs.select(
+            F.explode(F.expr(f"element_at({qterms_sql}, query_id)")).alias(
+                "term_id"
+            ),
+            "block_id",
+        )
         .distinct()
-        .where(~F.col("block_id").isin(probe_ids))
     )
     if stats_out is not None:
+        stats_out["kept_qb_pairs"] = surv_pairs.count()
         # persisted so the diagnostic count and the final-decode semi-join
         # share one computation; exposed as ._joie_persisted on the result
         # for caller-controlled release (ADVICE r4 — unpersisting here,
         # before the caller materializes the result, would defeat it)
         surv = surv.persist()
-        stats_out["decoded_after_probe"] = surv.count()
+        stats_out["decoded_tb_after_probe"] = surv.count()
+        stats_out["decoded_after_probe"] = (
+            surv.select("block_id").distinct().count()
+        )
         stats_out["survivor_blocks"] = (
             stats_out["decoded_after_probe"] + len(probe_ids)
         )
@@ -541,7 +635,9 @@ def _blocks_path(
         r for qid, _n, _q in unfinished for r in by_q.get(qid, [])
     ]
     unf_ids = sorted({t for _q, _n, qids in unfinished for t in qids})
-    final_blocks = _blocks_meta_for(ix, unf_ids).join(surv, "block_id", "left_semi")
+    final_blocks = _blocks_meta_for(ix, unf_ids).join(
+        surv, ["term_id", "block_id"], "left_semi"
+    )
     final_cand = _apply_filters(
         _cand_from_blocks(final_blocks, bitpos, n_words), ix, where, where_doc
     )
@@ -549,9 +645,18 @@ def _blocks_path(
         final_cand, unfinished, idf, avgdl, bitpos, n_words, k
     )
     # merge probe top-k with the freshly decoded blocks' top-k: ≤ 2k rows
-    # per query (bounded by 2·k·Q — not a scale hazard), one tiny window
-    merged = fresh_df.unionByName(
-        spark.createDataFrame(unfinished_probe_rows, OUT_SCHEMA)
+    # per query (bounded by 2·k·Q — not a scale hazard), one tiny window.
+    # The max-dedupe first: a block q probed can be re-decoded for some
+    # OTHER query's survivor pair, handing q a duplicate (possibly
+    # partial) row for a turn already in its probe top-k; every BM25
+    # contribution is positive, so a partial sum ≤ the exact one and
+    # max() keeps the exact row's score.
+    merged = (
+        fresh_df.unionByName(
+            spark.createDataFrame(unfinished_probe_rows, OUT_SCHEMA)
+        )
+        .groupBy("query_id", "doc_id", "turn_idx")
+        .agg(F.max("score").alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id"), F.asc("turn_idx")
