@@ -118,7 +118,7 @@ class Engine:
         optimize: bool = True,
         mode: str = "auto",
         probe_blocks: int = 8,
-        direct_threshold: int = 4096,
+        direct_threshold: int = 32768,
         stats_out: dict | None = None,
     ) -> DataFrame:
         """Batch BM25 top-k: one dictionary lookup + one job chain for the
@@ -129,7 +129,17 @@ class Engine:
         shuffle engine, aggregate QPS is not).  mode='auto' runs
         phrase-free queries on the compressed blocks table with per-query
         block-max pruning (operators/batch.py); 'postings' forces the
-        exhaustive uncompressed scan."""
+        exhaustive uncompressed scan.
+
+        direct_threshold (doc-blocks) routes indexes at or below it to
+        one-pass decode-all instead of the 3-phase probe/θ machinery.
+        The default is measured, not guessed: decode-all won every
+        configuration of the crossover study up to 20k blocks / 6.5M
+        turns — even when θ pruned 100% of post-probe pairs — because
+        phase 1's metadata aggregation costs more per candidate pair
+        than whole-stage-codegen decode-and-score (see
+        BENCH/PRUNING_CROSSOVER.md; lower it only for block sets big
+        enough that decode dominates, raise stats_out to check)."""
         return Q.search_many(
             self.index, queries, k=k, where=where, where_doc=where_doc,
             optimize=optimize, mode=mode, probe_blocks=probe_blocks,

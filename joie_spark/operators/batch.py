@@ -447,7 +447,7 @@ def _blocks_path(
     where: str | None,
     where_doc: str | None,
     probe_blocks: int,
-    direct_threshold: int = 4096,
+    direct_threshold: int = 32768,
     stats_out: dict | None = None,
 ) -> DataFrame:
     """Block-max pruned batch top-k for phrase-free queries (unordered).
@@ -463,13 +463,17 @@ def _blocks_path(
 
     blocks_meta = _blocks_meta_for(ix, all_ids)
 
-    # Small-index shortcut: pruning exists to avoid decoding HUGE block
-    # sets; when the whole index has at most direct_threshold blocks
-    # (known from stats — no job needed), the 3-phase probe/θ machinery
-    # costs more in job latency than it can ever save — decode every
-    # candidate block in ONE pass instead (still the compressed index,
-    # still exact).  At 10^12 turns total_blocks is ~10^10 and the WAND
-    # phases below are mandatory.
+    # Small-index shortcut: when the whole index has at most
+    # direct_threshold blocks (known from stats — no job needed), decode
+    # every candidate block in ONE pass (still the compressed index,
+    # still exact).  The default threshold is measured
+    # (BENCH/PRUNING_CROSSOVER.md): decode-all won every crossover
+    # configuration up to 20k blocks / 6.5M turns — even at 100%
+    # post-probe pair pruning — because phase 1's per-(q, b) metadata
+    # aggregation costs more per candidate pair than one codegen
+    # decode-and-score pass, and the 3-phase chain adds 2 extra job
+    # barriers.  The phases below are for the regime where fat posting
+    # blocks make decode dominate (10^12 turns ⇒ ~10^10 blocks).
     # block_id ranges over DOCS (conversations), not turns — ix.n_docs,
     # not stats["N"] (~a dozen turns per doc ⇒ the old N-based estimate
     # overstated the block count ~12× and mis-routed mid-size indexes
@@ -477,7 +481,13 @@ def _blocks_path(
     total_blocks = ix.total_blocks
     if total_blocks <= direct_threshold:
         if stats_out is not None:
-            stats_out.update({"path": "direct", "total_blocks": total_blocks})
+            stats_out.update({
+                "path": "direct",
+                "total_blocks": total_blocks,
+                # decode units: every (term_id, block_id) posting-block of
+                # the batch vocabulary (metadata-only count, diag pass)
+                "candidate_tb_pairs": blocks_meta.count(),
+            })
         cand = _apply_filters(
             _cand_from_blocks(blocks_meta, bitpos, n_words), ix, where, where_doc
         )
@@ -491,6 +501,7 @@ def _blocks_path(
                 "path": "pruned",
                 "total_blocks": total_blocks,
                 "candidate_qblock_pairs": int(sum(n for _b, n in top.values())),
+                "candidate_tb_pairs": blocks_meta.count(),
             }
         )
 
@@ -709,7 +720,7 @@ def search_many(
     optimize: bool = True,
     mode: str = "auto",
     probe_blocks: int = 8,
-    direct_threshold: int = 4096,
+    direct_threshold: int = 32768,
     stats_out: dict | None = None,
 ) -> DataFrame:
     """Batch BM25 top-k → (query_id, doc_id, turn_idx, score), top-k rows

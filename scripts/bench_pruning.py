@@ -82,6 +82,19 @@ def selective_batch() -> list[str]:
     return qs
 
 
+def single_batch() -> list[str]:
+    """120 single-term mid-Zipf queries: the tight-upper-bound case.
+    For one term, ub(b) = idf·max_part(b) is EXACTLY attainable (no
+    OR-sum looseness across terms that never co-occur in a turn), so θ
+    pruning gets its best shot — the WAND-literature contrast to
+    disjunctions of stopwords."""
+    from joie_spark.corpus import _lemmas
+
+    body, _rare = _lemmas()
+    mid = body[200:2000]
+    return [mid[(29 * i + 13) % len(mid)] for i in range(120)]
+
+
 def corpus_for(convs: int, burst: float, spark) -> str:
     """Bursty corpora (burst > 0) cache separately; burst = 0 reuses the
     scaling corpus."""
@@ -142,7 +155,10 @@ def run_corpus(
     convs: int, dpb: int, batch_name: str, spark, burst: float = 0.0
 ) -> dict:
     eng = index_for(convs, dpb, burst, spark)
-    batch = flat_batch() if batch_name == "flat" else selective_batch()
+    batch = {
+        "flat": flat_batch, "selective": selective_batch,
+        "single": single_batch,
+    }[batch_name]()
     total_blocks = eng.index.total_blocks
     print(f"corpus {convs} dpb{dpb} b{burst} {batch_name}: "
           f"{eng.index.stats['N']} turns, {total_blocks} blocks, "
@@ -155,6 +171,8 @@ def run_corpus(
     configs = [("decode_all", 10, 8, 10**9)]
     for probe in (8, 32):
         configs.append((f"pruned_p{probe}", 10, probe, 0))
+    if batch_name == "single":  # tight-ub case: also the k=1 extreme
+        configs += [("decode_all_k1", 1, 8, 10**9), ("pruned_p8_k1", 1, 8, 0)]
     results: dict[str, dict] = {
         name: {"k": k, "probe": p, "times": []} for name, k, p, _ in configs
     }
@@ -194,7 +212,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--convs", type=int, default=None)
     ap.add_argument("--dpb", type=int, default=None)
-    ap.add_argument("--batch", choices=["flat", "selective"], default=None)
+    ap.add_argument(
+        "--batch", choices=["flat", "selective", "single"], default=None
+    )
     ap.add_argument("--burst", type=float, default=0.0)
     args = ap.parse_args()
 
@@ -205,7 +225,7 @@ def main() -> None:
     )
     sizes = [args.convs] if args.convs else [20000, 40000]
     dpbs = [args.dpb] if args.dpb else [64, 8]
-    batches = [args.batch] if args.batch else ["flat", "selective"]
+    batches = [args.batch] if args.batch else ["flat", "selective", "single"]
     out = []
     for convs, dpb, bname in itertools.product(sizes, dpbs, batches):
         if convs == 40000 and dpb == 64 and not args.convs:
