@@ -638,7 +638,7 @@ def search_many(
     optimize: bool = True,
     mode: str = "auto",
     probe_blocks: int = 8,
-    direct_threshold: int = 4096,
+    direct_threshold: int = 32768,
     stats_out: dict | None = None,
 ) -> DataFrame:
     """Batch BM25 top-k — see operators/batch.py (block-max pruned batch

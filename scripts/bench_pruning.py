@@ -9,7 +9,7 @@ winning.  The first run of this script found out why, twice over:
      stats["N"] (turns) instead of n_docs (conversations) — block_id =
      doc_id // docs_per_block ranges over DOCS.  The "4,050-block"
      259k-turn corpus is really a 313-block index (20,000 convs / 64),
-     which the default direct_threshold=4096 correctly routes to
+     which the then-default direct_threshold=4096 correctly routed to
      decode-all.  Every query's candidate set was all 313 blocks
      (137 x 313 = 42,881 pairs exactly).
   2. BLOCK GRANULARITY: at docs_per_block=64 a block holds ~830 TURNS
