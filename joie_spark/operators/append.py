@@ -80,6 +80,22 @@ def _live_dict(spark, fmt, index_dir: str, dict_gen: int) -> DataFrame:
     )
 
 
+def _live_rows(df: DataFrame, stats: dict) -> DataFrame:
+    """Prune a turns/doc_meta read to the live row-store generation set
+    (stats.gens) — the maintenance-path twin of Index._live_row_gens.
+
+    A purge-compact that crashed between its row-store rewrite and the
+    stats commit leaves a half-written gen dir holding DUPLICATE copies
+    of live rows; a raw read that then aggregates (delete's df/cf/dl
+    decrements) would double-count every duplicated doc.  Partition-
+    pruning to stats.gens makes that dir invisible until the commit that
+    makes it authoritative."""
+    rg = stats.get("gens")
+    if rg is None or "gen" not in df.columns:
+        return df
+    return df.where(F.col("gen").isin([int(g) for g in rg]))
+
+
 def _gen_dirs(root: str) -> dict[int, str]:
     """On-disk gen=N partition dirs of a parquet table root."""
     if not os.path.isdir(root):
@@ -111,7 +127,9 @@ def _all_known_gens(man: Manifest, stats: dict, index_dir: str, fmt) -> set[int]
         if str(e.get("unit", "")).startswith("gen="):
             gens.add(int(e["unit"].removeprefix("gen=")))
     if fmt.name == "parquet":
-        for table in ("postings", "blocks", "turns", "term_dict", "tombstones"):
+        for table in (
+            "postings", "blocks", "turns", "doc_meta", "term_dict", "tombstones",
+        ):
             gens.update(_gen_dirs(table_path(index_dir, table)))
     return gens
 
@@ -211,9 +229,9 @@ def append_index(
         # disjointness contract (same as the shard merge): appended
         # conv_ids must be new — or tombstoned (delete + append of the
         # same conv_id = an exact UPDATE, operators/delete.py)
-        live_convs = fmt.read(spark, index_dir, "doc_meta").select(
-            "doc_id", "conv_id"
-        )
+        live_convs = _live_rows(
+            fmt.read(spark, index_dir, "doc_meta"), stats
+        ).select("doc_id", "conv_id")
         tomb = tombstone_docs(spark, fmt, index_dir)
         if tomb is not None:
             live_convs = live_convs.join(
@@ -243,12 +261,20 @@ def append_index(
     # ---- delta turns -----------------------------------------------------
     if not man.is_done("append_turns", unit):
         t0 = time.time()
+        # next free doc id = the HIGH-WATER mark, not max(doc_meta):
+        # compaction physically purges tombstoned docs from doc_meta, so
+        # its max can shrink below ids already retired to the tombstone
+        # registry — reusing one would make the registry filter hide the
+        # new live doc and a later delete of it silently skip its rows.
+        # stats.n_docs never decreases (dense ids are retired, not
+        # reassigned).
         base_doc = (
-            fmt.read(spark, index_dir, "doc_meta")
+            _live_rows(fmt.read(spark, index_dir, "doc_meta"), stats)
             .agg(F.max("doc_id"))
             .collect()[0][0]
         )
-        doc_map = assign_dense_ids(src, "conv_id", "doc_id", start=int(base_doc) + 1)
+        base_doc = max(int(base_doc or 0), int(stats.get("n_docs", 0)) - 1)
+        doc_map = assign_dense_ids(src, "conv_id", "doc_id", start=base_doc + 1)
         turns = tokenized_turns(spark, src, doc_map).withColumn(
             "gen", F.lit(gen)
         ).sortWithinPartitions("doc_id", "turn_idx")
@@ -359,13 +385,22 @@ def append_index(
     # re-derived from doc_meta (already holds the committed delta rows)
     # rather than carried through locals, so a resumed append that skipped
     # the turns stage still lands the right doc-slot count
+    # live gens PLUS this append's own (not yet in stats.gens — that
+    # commit is below); pruning away crashed-compact leftovers only
     max_doc = (
-        fmt.read(spark, index_dir, "doc_meta").agg(F.max("doc_id")).collect()[0][0]
+        _live_rows(
+            fmt.read(spark, index_dir, "doc_meta"),
+            {"gens": list(stats.get("gens", [0])) + [gen]},
+        )
+        .agg(F.max("doc_id"))
+        .collect()[0][0]
     )
     stats.update(
         {
             "N": new_n,
-            "n_docs": int(max_doc) + 1,
+            # high-water mark: never shrinks (a purge-compact can lower
+            # max(doc_meta) below ids retired to the tombstone registry)
+            "n_docs": max(int(stats.get("n_docs", 0)), int(max_doc) + 1),
             "total_dl": new_total_dl,
             "avgdl": new_avgdl,
             "n_terms": n_terms,
@@ -420,8 +455,15 @@ def compact_index(spark: SparkSession, index_dir: str) -> Manifest:
     append left loose (enc_avgdl drift) become tight again, and boundary
     blocks split across generations are merged.  turns/doc_meta keep
     their per-gen partitions (they are append-only row stores; nothing is
-    stale in them).  Parquet-format only: Iceberg deployments use the
-    engine-side rewrite_data_files maintenance instead.
+    stale in them) — EXCEPT when tombstones are pending purge: then the
+    row-store generations that contain dead documents are rewritten
+    (minus the dead rows) into the same fresh generation and the
+    untouched generations are kept as-is, so a delete's storage is fully
+    reclaimed by compact without rewriting the whole corpus.  stats.gens
+    is the live row-store generation set readers partition-prune to
+    (Index._live_row_gens), which is what makes the rewrite crash-safe.
+    Parquet-format only: Iceberg deployments use the engine-side
+    rewrite_data_files maintenance instead.
 
     Crash safety (ADVICE r3): the LIVE generation set is stats.post_gens
     (what the query path partition-prunes to), never a directory listing —
@@ -460,6 +502,8 @@ def compact_index(spark: SparkSession, index_dir: str) -> Manifest:
     t0 = time.time()
     post_root = table_path(index_dir, "postings")
     block_root = table_path(index_dir, "blocks")
+    turns_root = table_path(index_dir, "turns")
+    meta_root = table_path(index_dir, "doc_meta")
     live = sorted(
         int(g)
         for g in stats.get(
@@ -471,10 +515,25 @@ def compact_index(spark: SparkSession, index_dir: str) -> Manifest:
             ),
         )
     )
+    # live ROW-store generations (turns/doc_meta).  Legacy stats without
+    # the set: every on-disk dir is live (nothing was ever purged) — pin
+    # that into stats BEFORE any new dir exists, so readers prune from
+    # here on and a crash mid-purge leaves the half-written gen invisible
+    row_live = stats.get("gens")
+    if row_live is None:
+        row_live = sorted(_gen_dirs(turns_root)) or [0]
+        stats["gens"] = row_live
+        write_stats(index_dir, stats)
+    row_live = sorted(int(g) for g in row_live)
     gen = 1 + max(_all_known_gens(man, stats, index_dir, fmt))
-    for root in (post_root, block_root):
+    for root, live_set in (
+        (post_root, live),
+        (block_root, live),
+        (turns_root, row_live),
+        (meta_root, row_live),
+    ):
         for g, path in _gen_dirs(root).items():
-            if g not in live:
+            if g not in live_set:
                 shutil.rmtree(path, ignore_errors=True)
     avgdl = float(stats["avgdl"])
 
@@ -515,16 +574,60 @@ def compact_index(spark: SparkSession, index_dir: str) -> Manifest:
         partition_by=["gen", "chunk", "bucket"],
         subunit=f"gen={gen}/chunk=0",
     )
+    # ---- row-store purge: rewrite ONLY the turns/doc_meta generations
+    # that contain tombstoned documents (dead docs live wholly inside the
+    # generation that appended them), minus the dead rows, into gen=G;
+    # generations with no dead rows are kept untouched.  Readers see
+    # nothing until the stats commit below flips stats.gens.
+    new_rows = row_live
+    if tomb is not None and int(stats.get("tombstones_unpurged", 0)) > 0:
+        dead = tomb.select("doc_id")
+        meta = spark.read.option("basePath", meta_root).parquet(
+            *[os.path.join(meta_root, f"gen={g}") for g in row_live]
+        )
+        affected = sorted(
+            int(r["gen"])
+            for r in meta.join(F.broadcast(dead), "doc_id", "left_semi")
+            .select("gen").distinct().collect()
+        )
+        if affected:
+            src_turns = spark.read.option("basePath", turns_root).parquet(
+                *[os.path.join(turns_root, f"gen={g}") for g in affected]
+            )
+            fmt.write(
+                src_turns.join(F.broadcast(dead), "doc_id", "left_anti")
+                .withColumn("gen", F.lit(gen))
+                .sortWithinPartitions("doc_id", "turn_idx"),
+                index_dir,
+                "turns",
+                partition_by=["gen"],
+                subunit=f"gen={gen}",
+            )
+            src_meta = spark.read.option("basePath", meta_root).parquet(
+                *[os.path.join(meta_root, f"gen={g}") for g in affected]
+            )
+            fmt.write(
+                src_meta.join(F.broadcast(dead), "doc_id", "left_anti")
+                .withColumn("gen", F.lit(gen))
+                .repartitionByRange(F.col("doc_id"))
+                .sortWithinPartitions("doc_id"),
+                index_dir,
+                "doc_meta",
+                partition_by=["gen"],
+                subunit=f"gen={gen}",
+            )
+            new_rows = sorted(
+                (set(row_live) - set(affected)) | {gen}
+            )
     # COMMIT the new generation before any destructive cleanup: from here
     # every query answers from gen alone, whatever else is on disk
-    stats["gens"] = sorted(
-        {int(x.removeprefix("gen=")) for x in os.listdir(table_path(index_dir, "turns")) if x.startswith("gen=")}
-    )
+    stats["gens"] = [int(g) for g in new_rows]
     stats["post_gens"] = [gen]
     stats["compacted_gen"] = gen
-    # every tombstoned doc is now physically absent from postings/blocks;
-    # the tombstones TABLE stays (conversation registry for re-append
-    # disjointness + get_doc), only the hot-path filter switches off
+    # every tombstoned doc is now physically absent from postings/blocks
+    # AND the row stores; the tombstones TABLE stays (conversation
+    # registry for re-append disjointness + get_doc), only the hot-path
+    # filter switches off
     stats["tombstones_unpurged"] = 0
     write_stats(index_dir, stats)
     man.commit(
@@ -535,6 +638,10 @@ def compact_index(spark: SparkSession, index_dir: str) -> Manifest:
     for root in (post_root, block_root):
         for g, path in _gen_dirs(root).items():
             if g != gen:
+                shutil.rmtree(path, ignore_errors=True)
+    for root in (turns_root, meta_root):
+        for g, path in _gen_dirs(root).items():
+            if g not in set(stats["gens"]):
                 shutil.rmtree(path, ignore_errors=True)
     dict_root = table_path(index_dir, "term_dict")
     for d in list(os.listdir(dict_root)):

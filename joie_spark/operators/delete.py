@@ -30,11 +30,13 @@ delete + append of the same conv_id = an UPDATE with exact semantics
 
 `compact_index` physically purges tombstoned postings/blocks (it already
 rewrites both into a fresh generation; the purge is one broadcast
-anti-join on its input) and resets the hot-path filter
+anti-join on its input), rewrites ONLY the turns/doc_meta generations
+that held dead docs (minus the dead rows — storage fully reclaimed
+without touching clean generations), and resets the hot-path filter
 (stats.tombstones_unpurged = 0).  The tombstones table is retained as
-the conversation registry — re-appends and get_doc consult it — and dead
-rows linger in the turns/doc_meta row stores (unreachable by any query;
-reclaimed by a full rebuild).
+the conversation registry — re-appends and get_doc consult it — and doc
+ids are retired, never reused (append starts at the stats.n_docs
+high-water mark, which a purge never lowers).
 
 Everything is manifest-logged and resumable mid-delete, same recipe as
 append: begin (pins the target set + base stats) → tombstones →
@@ -54,7 +56,7 @@ from ..sources.tables import (
     read_stats,
     write_stats,
 )
-from .append import _all_known_gens, _live_dict
+from .append import _all_known_gens, _live_dict, _live_rows
 from .build import term_stats_of
 
 
@@ -137,7 +139,7 @@ def delete_convs(
     else:
         gen = 1 + max(_all_known_gens(man, stats, index_dir, fmt))
         # resolve + validate: every conv must exist and not be tombstoned
-        doc_meta = fmt.read(spark, index_dir, "doc_meta")
+        doc_meta = _live_rows(fmt.read(spark, index_dir, "doc_meta"), stats)
         tomb = tombstone_docs(spark, fmt, index_dir)
         live = doc_meta.select("doc_id", "conv_id")
         if tomb is not None:
@@ -162,7 +164,7 @@ def delete_convs(
     unit = f"gen={gen}"
     if not man.is_done("delete_tombstones", unit):
         targets = (
-            fmt.read(spark, index_dir, "doc_meta")
+            _live_rows(fmt.read(spark, index_dir, "doc_meta"), stats)
             .select("doc_id", "conv_id")
             .join(convs, "conv_id", "left_semi")
         )
@@ -187,7 +189,10 @@ def delete_convs(
         .select("doc_id", "conv_id")
     )
 
-    deleted_turns = fmt.read(spark, index_dir, "turns").join(
+    # _live_rows: a gen half-written by a crashed purge-compact holds
+    # duplicate live rows — reading it here would double the df/cf/dl
+    # decrements below
+    deleted_turns = _live_rows(fmt.read(spark, index_dir, "turns"), stats).join(
         targets.select("doc_id"), "doc_id", "left_semi"
     )
 

@@ -147,7 +147,7 @@ class Index:
         self.stats = read_stats(index_dir)
         # table format pinned at build time (stats.json); parquet default
         self.fmt = format_by_name(self.stats.get("table_format", "parquet"))
-        self.turns = self.fmt.read(spark, index_dir, "turns")
+        self.turns = self._live_row_gens(self.fmt.read(spark, index_dir, "turns"))
         self.postings = self._live_gens(
             self.fmt.read(spark, index_dir, "postings")
         )
@@ -165,7 +165,9 @@ class Index:
     @property
     def doc_meta(self) -> DataFrame:
         if self._doc_meta is None:
-            self._doc_meta = self.fmt.read(self.spark, self.index_dir, "doc_meta")
+            self._doc_meta = self._live_row_gens(
+                self.fmt.read(self.spark, self.index_dir, "doc_meta")
+            )
         return self._doc_meta
 
     @property
@@ -202,6 +204,19 @@ class Index:
             return df
         return df.where(F.col("gen").isin([int(g) for g in pg]))
 
+    def _live_row_gens(self, df: DataFrame) -> DataFrame:
+        """Partition-prune the turns/doc_meta ROW stores to the live
+        generation set (stats.gens).  Compaction rewrites the row-store
+        generations that contained tombstoned documents (physical purge,
+        operators/append.py compact_index), so — exactly like post_gens
+        for postings/blocks — a generation a crashed compact half wrote is
+        invisible until its stats commit lands.  Pre-gens indexes carry no
+        set → read everything, the legacy behavior."""
+        rg = self.stats.get("gens")
+        if rg is None or "gen" not in df.columns:
+            return df
+        return df.where(F.col("gen").isin([int(g) for g in rg]))
+
     @property
     def blocks(self) -> DataFrame:
         if self._blocks is None:
@@ -233,12 +248,15 @@ class Index:
     def registry_tombstones(self) -> DataFrame | None:
         """The FULL tombstone registry (doc_id of every doc ever deleted),
         or None when no delete ever ran.  Unlike `tombstones` this is NOT
-        gated on tombstones_unpurged: compaction purges postings/blocks
-        but dead rows linger in the turns/doc_meta row stores, so row-store
-        point lookups (Engine.get_doc) must keep filtering forever.
-        Cached on the Index handle — the Engine reloads the Index on
-        delete/compact, so per-call table re-reads are avoided (ADVICE
-        r4)."""
+        gated on tombstones_unpurged: compaction now purges the row stores
+        too (compact_index rewrites the turns/doc_meta generations holding
+        dead docs), but indexes compacted before that existed still carry
+        lingering dead rows, and between a delete and the next compact the
+        rows are present either way — so row-store point lookups
+        (Engine.get_doc) keep filtering; post-purge the anti-join matches
+        nothing.  Cached on the Index handle — the Engine reloads the
+        Index on delete/compact, so per-call table re-reads are avoided
+        (ADVICE r4)."""
         if self._registry_tombstones is False:
             from .delete import tombstone_docs
 

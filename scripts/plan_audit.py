@@ -188,6 +188,19 @@ def main() -> None:
             and "CartesianProduct" not in p2
         )
 
+    # 5e. row-store live-generation pruning (round 5): after a
+    # purge-compact rewrites the turns/doc_meta generations that held
+    # tombstoned docs, every turns scan must partition-prune to the
+    # stats.gens live set — a half-written generation from a crashed
+    # purge (duplicate live rows) is never read
+    eng2.compact()
+    plan_c = explain_str(eng2.get_doc(0))
+    turns_chunks = [ch for ch in plan_c.split("Scan parquet") if "/turns" in ch]
+    results["turns_scan_gen_pruned"] = bool(turns_chunks) and all(
+        any("PartitionFilters" in ln and "gen" in ln for ln in ch.splitlines())
+        for ch in turns_chunks
+    )
+
     # 6. no cross join in any headline bench query (VERDICT r1: the bench
     # must measure the scale paths, not the sampled pairwise oracles)
     import __spark_entry__ as entrymod

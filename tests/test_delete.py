@@ -247,3 +247,139 @@ def test_delete_resume_rejects_colliding_conv_set(
     with pytest.raises(ValueError, match="fingerprint"):
         delete_convs(spark, collider, d)
     eng.delete(target)  # the true set still resumes fine
+
+
+def test_compact_purges_row_stores(spark, t1_rows, tmp_path):
+    """Compaction physically purges dead rows from the turns/doc_meta ROW
+    stores too (round 5): only the generations that held tombstoned docs
+    are rewritten (minus the dead rows), untouched generations stay
+    as-is on disk, and retired doc ids are never reused — a post-purge
+    append continues above the n_docs high-water mark even though
+    max(doc_meta) shrank below already-retired ids."""
+    import os
+
+    from joie_spark.engine import Engine
+    from joie_spark.sources.tables import read_stats, table_path
+
+    kw = dict(n_buckets=8, docs_per_block=8, block_chunks=1)
+    convs = sorted({r["conv_id"] for r in t1_rows})
+    base = [r for r in t1_rows if r["conv_id"] in set(convs[:40])]
+    delta = [r for r in t1_rows if r["conv_id"] in set(convs[40:])]
+    gone = convs[45:]  # highest doc ids, all inside the append's gen=1
+
+    d = str(tmp_path / "ix_rowpurge")
+    eng = Engine.build(spark, spark.createDataFrame(base), d, **kw)
+    eng.append(spark.createDataFrame(delta))
+    gone_df = spark.createDataFrame([(c,) for c in gone], "conv_id string")
+    retired = {
+        r["doc_id"]
+        for r in eng.index.doc_meta.join(gone_df, "conv_id", "left_semi")
+        .select("doc_id").collect()
+    }
+    eng.delete(gone)
+    before = {q: _by_conv(eng, q) for q in QUERIES[:3]}
+    eng.compact()
+    st = read_stats(d)
+    assert st["tombstones_unpurged"] == 0
+
+    # dead rows physically absent from the live row stores (the Index
+    # handles carry no tombstone filter — this is the raw live read)
+    assert eng.index.turns.join(gone_df, "conv_id", "left_semi").count() == 0
+    assert (
+        eng.index.doc_meta.join(gone_df, "conv_id", "left_semi").count() == 0
+    )
+
+    # on-disk generation dirs == stats.gens exactly; the build's gen=0
+    # (no dead docs) was kept untouched, the append's gen=1 (held all the
+    # dead docs) was rewritten into the fresh generation
+    on_disk = sorted(
+        int(x.removeprefix("gen="))
+        for x in os.listdir(table_path(d, "turns"))
+        if x.startswith("gen=")
+    )
+    assert on_disk == sorted(int(g) for g in st["gens"])
+    assert 0 in on_disk
+    assert 1 not in on_disk
+
+    # query results unchanged by the purge
+    for q in QUERIES[:3]:
+        assert _by_conv(eng, q) == before[q], q
+
+    # get_doc: retired ids are dead handles, live ids still resolve
+    assert eng.get_doc(sorted(retired)[0]).count() == 0
+    live_id = eng.index.doc_meta.select("doc_id").first()["doc_id"]
+    assert eng.get_doc(live_id).count() > 0
+
+    # doc ids are retired, not reassigned: max(doc_meta) < max(retired)
+    # now, yet the next append must start above the high-water mark
+    max_live = eng.index.doc_meta.agg({"doc_id": "max"}).collect()[0][0]
+    assert max_live < max(retired)
+    rows = [dict(t1_rows[0], conv_id="zz-row-purge-new", turn_idx=0)]
+    eng.append(spark.createDataFrame(rows))
+    new_id = (
+        eng.index.doc_meta.where("conv_id = 'zz-row-purge-new'")
+        .first()["doc_id"]
+    )
+    assert new_id not in retired
+    assert new_id >= int(st["n_docs"])
+
+
+def test_compact_row_purge_crash_resume(spark, t1_rows, tmp_path, monkeypatch):
+    """A purge-compact that crashes after writing its row-store rewrite
+    but before the stats commit leaves a half-written turns generation
+    holding DUPLICATE copies of live rows.  That generation must stay
+    invisible: queries keep answering from the old generations, a
+    subsequent delete must not double-count the duplicated rows in its
+    df/dl decrements (operators/append.py _live_rows), and a retried
+    compact completes and matches a rebuild of the survivors."""
+    from joie_spark.engine import Engine
+    from joie_spark.operators.append import _gen_dirs
+    from joie_spark.sources.tables import (
+        ParquetManifestFormat,
+        read_stats,
+        table_path,
+    )
+
+    kw = dict(n_buckets=8, docs_per_block=8, block_chunks=1)
+    a, gone = _split(t1_rows)
+    d = str(tmp_path / "ix_purge_crash")
+    eng = Engine.build(spark, spark.createDataFrame(t1_rows), d, **kw)
+    eng.delete(gone[:10])
+    before = {q: _by_conv(eng, q) for q in QUERIES[:3]}
+
+    real_write = ParquetManifestFormat.write
+
+    def failing_write(self, df, index_dir, table, partition_by=(), subunit=None):
+        out = real_write(self, df, index_dir, table, partition_by, subunit)
+        if table == "turns":
+            raise RuntimeError("injected crash after row-store write")
+        return out
+
+    monkeypatch.setattr(ParquetManifestFormat, "write", failing_write)
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.compact()
+    monkeypatch.setattr(ParquetManifestFormat, "write", real_write)
+
+    eng = Engine(spark, d)  # fresh handles; a crashed process restarts here
+    st = read_stats(d)
+    crashed = set(_gen_dirs(table_path(d, "turns"))) - {
+        int(g) for g in st["gens"]
+    }
+    assert crashed, "the crash must leave a half-written turns generation"
+    assert int(st["tombstones_unpurged"]) == 10  # commit never happened
+    for q in QUERIES[:3]:
+        assert _by_conv(eng, q) == before[q], q
+
+    # delete AFTER the crashed compact: the duplicate rows in the crashed
+    # generation must not double the df/dl decrements
+    eng.delete(gone[10:])
+    d_ref = str(tmp_path / "ix_purge_crash_ref")
+    ref = Engine.build(spark, spark.createDataFrame(a), d_ref, **kw)
+    assert read_stats(d)["N"] == ref.index.stats["N"]
+    assert abs(read_stats(d)["avgdl"] - ref.index.stats["avgdl"]) < 1e-9
+
+    # retried compact completes, purges everything, matches the rebuild
+    eng.compact()
+    assert read_stats(d)["tombstones_unpurged"] == 0
+    for q in QUERIES[:3]:
+        assert _by_conv(eng, q) == _by_conv(ref, q), q
