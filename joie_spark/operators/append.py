@@ -597,6 +597,9 @@ def compact_index(spark: SparkSession, index_dir: str) -> Manifest:
             fmt.write(
                 src_turns.join(F.broadcast(dead), "doc_id", "left_anti")
                 .withColumn("gen", F.lit(gen))
+                # keep the build-time layout: files cover contiguous doc
+                # ranges so get_doc's doc_id pushdown skips row groups
+                .repartitionByRange(F.col("doc_id"))
                 .sortWithinPartitions("doc_id", "turn_idx"),
                 index_dir,
                 "turns",
