@@ -200,6 +200,13 @@ def main() -> None:
         any("PartitionFilters" in ln and "gen" in ln for ln in ch.splitlines())
         for ch in turns_chunks
     )
+    # ... and the point-lookup predicate reaches the parquet scan, where
+    # the range-partitioned layout turns it into row-group skipping
+    results["get_doc_docid_pushdown"] = any(
+        "PushedFilters" in ln and "doc_id" in ln
+        for ch in turns_chunks
+        for ln in ch.splitlines()
+    )
 
     # 6. no cross join in any headline bench query (VERDICT r1: the bench
     # must measure the scale paths, not the sampled pairwise oracles)
