@@ -208,27 +208,32 @@ def main() -> None:
             )
         single_sec = min(spreads["engine_single_query"])
         # stopword-phrase A/B (VERDICT r4 item 2): '"the dup"' has an
-        # extreme df spread in this corpus (the ~3.9k vs dup 250), so the
-        # rarest-term broadcast semi-join seed engages on the default
-        # path; the noseed twin (ratio ∞) measures the unpruned scan
+        # extreme df spread in this corpus (the ~3.9k vs dup 250).  The
+        # seed leg FORCES the broadcast semi-join on (floor 0 — the
+        # default path routes around it below PHRASE_SEED_MIN_HOT_DF,
+        # justified by BENCH/PHRASE_SEED.md's crossover); the noseed twin
+        # (ratio ∞) measures the unpruned scan — so this pair tracks the
+        # mechanism's constant factors at sf0.1, not the routing default.
         import joie_spark.operators.query as _qmod
 
         stopword_q = '"the dup"'
         n_hits = len(eng.search(stopword_q, k=10).collect())  # warm + sanity
         for _rep in range(REPS):
+            _sav = (_qmod.PHRASE_SEED_DF_RATIO, _qmod.PHRASE_SEED_MIN_HOT_DF)
+            _qmod.PHRASE_SEED_MIN_HOT_DF = 0
             t0 = time.time()
-            eng.search(stopword_q, k=10).collect()
+            n1 = len(eng.search(stopword_q, k=10).collect())
             spreads.setdefault("engine_phrase_stopword", []).append(
                 round(time.time() - t0, 3)
             )
-            _qmod.PHRASE_SEED_DF_RATIO, _sav = float("inf"), _qmod.PHRASE_SEED_DF_RATIO
+            _qmod.PHRASE_SEED_DF_RATIO = float("inf")
             t0 = time.time()
             n2 = len(eng.search(stopword_q, k=10).collect())
-            _qmod.PHRASE_SEED_DF_RATIO = _sav
+            _qmod.PHRASE_SEED_DF_RATIO, _qmod.PHRASE_SEED_MIN_HOT_DF = _sav
             spreads.setdefault("engine_phrase_stopword_noseed", []).append(
                 round(time.time() - t0, 3)
             )
-            assert n2 == n_hits
+            assert n1 == n2 == n_hits
         timings["engine_phrase_stopword"] = min(spreads["engine_phrase_stopword"])
         timings["engine_phrase_stopword_noseed"] = min(
             spreads["engine_phrase_stopword_noseed"]

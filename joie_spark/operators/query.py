@@ -338,9 +338,14 @@ def _adjacency_pred(posmap: Column, ids: tuple[int, ...]) -> Column:
 # hottest and rarest term df crosses this ratio (the scan saved is ~the
 # hot term's share of the postings read) AND the rare term's postings fit
 # a broadcast (its df IS the seed row count, known exactly from the
-# dictionary before any job runs).
+# dictionary before any job runs) AND the hot term's postings are big
+# enough that skipping them repays the seed's extra scan + broadcast
+# build (PHRASE_SEED_MIN_HOT_DF — measured crossover, see
+# BENCH/PHRASE_SEED.md: at hot-df ~4k the seed loses ~80 ms; it wins
+# once the hot term's positional postings dominate the shuffle).
 PHRASE_SEED_DF_RATIO = 8.0
 PHRASE_SEED_BROADCAST_MAX = 2_000_000
+PHRASE_SEED_MIN_HOT_DF = 25_000
 
 
 def _phrase_candidates(
@@ -370,7 +375,11 @@ def _phrase_candidates(
         if known:
             lo_t = min(known, key=lambda t: dfs[t])
             lo, hi = dfs[lo_t], max(dfs[t] for t in known)
-            if hi >= lo * PHRASE_SEED_DF_RATIO and lo <= PHRASE_SEED_BROADCAST_MAX:
+            if (
+                hi >= lo * PHRASE_SEED_DF_RATIO
+                and hi >= PHRASE_SEED_MIN_HOT_DF
+                and lo <= PHRASE_SEED_BROADCAST_MAX
+            ):
                 seed = ix.postings_for({lo_t}).select(*MATCH_COLS)
                 post = post.join(F.broadcast(seed), MATCH_COLS, "left_semi")
     return (

@@ -134,11 +134,14 @@ def main() -> None:
         )
 
     old_ratio = Qmod.PHRASE_SEED_DF_RATIO
+    old_floor = Qmod.PHRASE_SEED_MIN_HOT_DF
     Qmod.PHRASE_SEED_DF_RATIO = float("inf")
     plan_p0 = explain_str(eng.search('"crystal kingdom"', k=5))
-    Qmod.PHRASE_SEED_DF_RATIO = 1.0  # tiny-corpus dfs are not extreme
+    # tiny-corpus dfs are not extreme and far below the engagement floor
+    Qmod.PHRASE_SEED_DF_RATIO, Qmod.PHRASE_SEED_MIN_HOT_DF = 1.0, 0
     plan_p1 = explain_str(eng.search('"crystal kingdom"', k=5))
     Qmod.PHRASE_SEED_DF_RATIO = old_ratio
+    Qmod.PHRASE_SEED_MIN_HOT_DF = old_floor
     results["phrase_rare_seed_broadcast_semi"] = (
         _n_bcast_semi(plan_p1) == _n_bcast_semi(plan_p0) + 1
     )

@@ -126,6 +126,8 @@ def test_phrase_rarest_seed_rank_identity(t1_engine, t1_oracle, monkeypatch):
         want_top = t1_oracle.search(q, k=10)
         for ratio in (1.0, float("inf")):
             monkeypatch.setattr(Q, "PHRASE_SEED_DF_RATIO", ratio)
+            # ratio 1.0 must actually engage the seed on the tiny corpus
+            monkeypatch.setattr(Q, "PHRASE_SEED_MIN_HOT_DF", 0)
             got_match = {
                 (r["doc_id"], r["turn_idx"])
                 for r in t1_engine.match_set(q).collect()
