@@ -8,12 +8,19 @@ is the initial build; `append_index` adds gen=1.. slices:
   turns / doc_meta   append-only: the delta rows land in a new gen
                      partition, old generations are untouched (disjoint
                      conv_ids are enforced).
-  term_dict          each gen is a COMPLETE dictionary snapshot: existing
-                     terms keep their term_id (postings reference them),
-                     df/cf absorb the delta counts, new terms extend the
-                     id space (dense rank from n_terms+1).  stats.dict_gen
-                     points at the live snapshot; readers partition-prune
-                     to it.
+  term_dict          gen=0 is the build's full snapshot; every
+                     append/delete gen is a DELTA holding only the terms
+                     that op touched (existing terms keep their term_id —
+                     postings reference them — with absorbed df/cf; new
+                     terms extend the id space, dense rank from
+                     n_terms+1).  stats.dict_gens lists the live
+                     partitions; readers resolve last-writer-wins per
+                     term (sources.tables.resolve_term_dict) and
+                     compact_index collapses the deltas back into one
+                     snapshot.  A full-vocabulary snapshot per
+                     maintenance op would make a chatty delete/append
+                     cadence vocabulary-bound at 100 TB scale (VERDICT
+                     r4); the delta write is O(|touched terms|) instead.
   postings           delta postings only (explode of the delta turns ×
                      the updated dictionary), new gen partition under the
                      same bucket scheme — bucket pruning spans gens.
@@ -74,9 +81,13 @@ from .build import (
 )
 
 
-def _live_dict(spark, fmt, index_dir: str, dict_gen: int) -> DataFrame:
-    return fmt.read(spark, index_dir, "term_dict").where(
-        F.col("gen") == int(dict_gen)
+def _live_dict(spark, fmt, index_dir: str, stats: dict) -> DataFrame:
+    """The resolved live dictionary (base snapshot + delta partitions,
+    last-writer-wins per term — sources.tables.resolve_term_dict)."""
+    from ..sources.tables import dict_gens_of, resolve_term_dict
+
+    return resolve_term_dict(
+        fmt.read(spark, index_dir, "term_dict"), dict_gens_of(stats)
     )
 
 
@@ -298,21 +309,26 @@ def append_index(
         )
         man.commit("append_doc_meta", unit, seconds=round(time.time() - t0, 3))
 
-    # ---- updated dictionary snapshot ---------------------------------------
+    # ---- dictionary DELTA (only terms the append touches) ------------------
+    # Existing terms in the delta get their absorbed df/cf re-stated (the
+    # new gen's row wins at read time — resolve_term_dict); new terms
+    # extend the dense id space.  Untouched vocabulary is NOT rewritten:
+    # at a 100 TB vocabulary a full snapshot per generation would make
+    # every maintenance op vocabulary-bound (VERDICT r4).  compact_index
+    # collapses the deltas back into one snapshot.
     if not man.is_done("append_term_dict", unit):
         t0 = time.time()
-        old = _live_dict(spark, fmt, index_dir, stats["dict_gen"]).select(
-            "term", "term_id", "df", "cf"
-        )
+        old = _live_dict(spark, fmt, index_dir, stats)
         delta = term_stats_of(delta_turns).withColumnRenamed(
             "df", "d_df"
         ).withColumnRenamed("cf", "d_cf")
-        joined = old.join(delta, "term", "full_outer")
-        existing = joined.where(F.col("term_id").isNotNull()).select(
+        # right outer: every delta term, with its current counts (if any)
+        joined = old.join(delta, "term", "right")
+        touched = joined.where(F.col("term_id").isNotNull()).select(
             "term",
             "term_id",
-            (F.col("df") + F.coalesce("d_df", F.lit(0))).alias("df"),
-            (F.col("cf") + F.coalesce("d_cf", F.lit(0))).alias("cf"),
+            (F.col("df") + F.col("d_df")).alias("df"),
+            (F.col("cf") + F.col("d_cf")).alias("cf"),
         )
         new_terms = joined.where(F.col("term_id").isNull()).select(
             "term", F.col("d_df").alias("df"), F.col("d_cf").alias("cf")
@@ -322,7 +338,7 @@ def append_index(
         )
         fresh = new_terms.join(ids, "term").select("term", "term_id", "df", "cf")
         fmt.write(
-            existing.unionByName(fresh)
+            touched.unionByName(fresh)
             .select("term", "term_id", "df", "cf", F.lit(gen).alias("gen"))
             .repartitionByRange(F.col("term_id"))
             .sortWithinPartitions("term_id"),
@@ -334,7 +350,9 @@ def append_index(
         release_dense_ids(ids)
         man.commit("append_term_dict", unit, seconds=round(time.time() - t0, 3))
 
-    new_dict = _live_dict(spark, fmt, index_dir, gen)
+    # the delta partition alone covers every term of the delta turns (by
+    # construction above), which is all postings_of needs (term→id map)
+    new_dict = fmt.read(spark, index_dir, "term_dict").where(F.col("gen") == gen)
 
     # ---- delta postings ------------------------------------------------------
     if not man.is_done("append_postings", unit):
@@ -381,7 +399,19 @@ def append_index(
         man.commit("append_blocks", unit, seconds=round(time.time() - t0, 3))
 
     # ---- stats + commit ---------------------------------------------------------
-    n_terms = new_dict.count()
+    # term ids are dense (build: 1..n, appends extend from n_terms+1), so
+    # the vocabulary size is the id high-water mark over the live dict
+    # generations plus this delta — a parquet column-stats max, idempotent
+    # on resume (never read back from the possibly-already-bumped stats)
+    from ..sources.tables import dict_gens_of
+
+    dict_gens = sorted(set(dict_gens_of(stats)) | {gen})
+    n_terms = int(
+        fmt.read(spark, index_dir, "term_dict")
+        .where(F.col("gen").isin(dict_gens))
+        .agg(F.max("term_id"))
+        .collect()[0][0]
+    )
     # re-derived from doc_meta (already holds the committed delta rows)
     # rather than carried through locals, so a resumed append that skipped
     # the turns stage still lands the right doc-slot count
@@ -405,6 +435,7 @@ def append_index(
             "avgdl": new_avgdl,
             "n_terms": n_terms,
             "dict_gen": gen,
+            "dict_gens": dict_gens,
             "gens": sorted(set(stats.get("gens", [0])) | {gen}),
             # legacy (pre-post_gens) indexes: their live postings gens are
             # the data gens, plus the compacted gen if one superseded them
@@ -622,6 +653,34 @@ def compact_index(spark: SparkSession, index_dir: str) -> Manifest:
             new_rows = sorted(
                 (set(row_live) - set(affected)) | {gen}
             )
+    if tomb is None or int(stats.get("tombstones_unpurged", 0)) > 0:
+        # the purge above ran against the FULL registry (or none exists):
+        # after this commit no dead row lingers in the row stores, so
+        # get_doc may skip the registry anti-join (Index.registry_tombstones)
+        stats["rows_purged"] = True
+    # ---- collapse dictionary deltas into one full snapshot at gen=G.
+    # Appends/deletes write only the terms they touch (delta partitions,
+    # resolved last-writer-wins); compaction is where the amortized full
+    # rewrite belongs.  Skipped when the dictionary is already a single
+    # snapshot (nothing to collapse — no wasted vocabulary rewrite).
+    from ..sources.tables import dict_gens_of
+
+    dict_live = dict_gens_of(stats)
+    if len(dict_live) > 1:
+        fmt.write(
+            _live_dict(spark, fmt, index_dir, stats)
+            .select("term", "term_id", "df", "cf", F.lit(gen).alias("gen"))
+            .repartitionByRange(F.col("term_id"))
+            .sortWithinPartitions("term_id"),
+            index_dir,
+            "term_dict",
+            partition_by=["gen"],
+            subunit=f"gen={gen}",
+        )
+        stats["dict_gen"] = gen
+        stats["dict_gens"] = [gen]
+    else:
+        stats["dict_gens"] = dict_live
     # COMMIT the new generation before any destructive cleanup: from here
     # every query answers from gen alone, whatever else is on disk
     stats["gens"] = [int(g) for g in new_rows]
@@ -647,9 +706,8 @@ def compact_index(spark: SparkSession, index_dir: str) -> Manifest:
             if g not in set(stats["gens"]):
                 shutil.rmtree(path, ignore_errors=True)
     dict_root = table_path(index_dir, "term_dict")
+    live_dict = {int(g) for g in stats["dict_gens"]}
     for d in list(os.listdir(dict_root)):
-        if d.startswith("gen=") and int(d.removeprefix("gen=")) != int(
-            stats["dict_gen"]
-        ):
+        if d.startswith("gen=") and int(d.removeprefix("gen=")) not in live_dict:
             shutil.rmtree(os.path.join(dict_root, d), ignore_errors=True)
     return man

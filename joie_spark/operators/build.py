@@ -531,11 +531,21 @@ def build_from_turns(
                 "block_chunks": block_chunks,
                 "turn_bits": TURN_BITS,
                 "table_format": fmt.name,
-                # generations: dict_gen = the LIVE full dictionary slice
-                # (each term_dict gen is a complete dictionary; older gens
-                # are kept as snapshots); gens = data generations present
+                # generations: dict_gens = the partitions composing the
+                # live dictionary (gen 0 = this build's full snapshot;
+                # appends/deletes add DELTA partitions resolved last-
+                # writer-wins, sources.tables.resolve_term_dict);
+                # dict_gen = the newest, kept for back-compat; gens =
+                # row-store data generations present
                 "dict_gen": 0,
+                "dict_gens": [0],
                 "gens": [0],
+                # no delete has ever run, so the row stores vacuously
+                # hold no dead rows; with tombstones_unpurged == 0 this
+                # marker lets get_doc skip the registry anti-join (a
+                # purge-compact restores it after deletes).  Indexes
+                # compacted by pre-purge code never carry it.
+                "rows_purged": True,
                 # live postings/blocks generations: the query path
                 # partition-prunes to exactly these, so a half-written
                 # generation (crashed append/compact) is invisible until

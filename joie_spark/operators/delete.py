@@ -11,11 +11,14 @@ equivalence tests key on conv_id — the same contract as append):
                   — the deny-list every query path anti-joins (broadcast:
                   tombstones ≪ corpus).  Postings/blocks/turns/doc_meta
                   are NOT touched.
-  term_dict       a fresh COMPLETE snapshot with the deleted turns' df/cf
-                  subtracted (term ids stable; terms reaching df=0 are
-                  kept with zero counts — they can never match because
-                  all their postings are tombstoned, so results equal a
-                  rebuild that lacks the term entirely).
+  term_dict       a DELTA partition holding only the deleted turns'
+                  terms with df/cf subtracted (term ids stable; terms
+                  reaching df=0 are kept with zero counts — they can
+                  never match because all their postings are tombstoned,
+                  so results equal a rebuild that lacks the term
+                  entirely).  Readers resolve base+deltas last-writer-
+                  wins (sources.tables.resolve_term_dict); the write is
+                  O(|touched terms|), not O(vocabulary).
   stats           N/total_dl/avgdl decremented by the deleted turns.
 
 Why scores stay exact: BM25 inputs are tf/dl (per remaining posting,
@@ -97,16 +100,15 @@ def delete_convs(
     generation; the final stats are recomputed from begin-time bases, so
     a resume after a crash inside the stats window is idempotent.
 
-    Cost shape / batching guidance (VERDICT r4): the tombstone write is
-    tiny, but every delete generation rewrites a COMPLETE dictionary
-    snapshot (term ids must stay stable while df/cf shrink), plus ~3
-    small driver jobs of validation.  At a 100 TB vocabulary that
-    snapshot is the dominant cost, so batch deletes the way streaming
-    batches appends: pass ALL conversations to remove in ONE call (the
-    conv set is a DataFrame — arbitrarily large) rather than calling
-    per-conversation; a daily/hourly delete cadence is cheap, a
-    per-request cadence is dictionary-rewrite-bound.  `compact_index`
-    drops superseded snapshots afterwards."""
+    Cost shape (VERDICT r4, resolved round 5): a delete generation
+    writes a dictionary DELTA sized by the deleted turns' distinct terms
+    — not a full vocabulary snapshot — plus a tiny tombstone write and
+    ~3 small driver jobs of validation, so even a chatty delete cadence
+    is no longer vocabulary-bound.  Batching many conversations into ONE
+    call (the conv set is a DataFrame — arbitrarily large) still
+    amortizes the fixed per-generation job cost, and each delta adds a
+    partition readers merge at lookup time, so run `compact_index`
+    periodically to collapse the deltas back into one snapshot."""
     man = Manifest.load(index_dir)
     if not man.is_done("build"):
         raise ValueError("delete_convs requires a completed build at index_dir")
@@ -196,22 +198,27 @@ def delete_convs(
         targets.select("doc_id"), "doc_id", "left_semi"
     )
 
-    # ---- updated dictionary snapshot (counts subtracted, ids stable) ----
+    # ---- dictionary DELTA: only the terms the deleted turns contained,
+    # with df/cf decremented (ids stable; a term reaching df=0 keeps its
+    # zero-count row — all its postings are tombstoned, so results equal
+    # a rebuild lacking the term).  Untouched vocabulary is not rewritten
+    # (sources.tables.resolve_term_dict merges the delta over the base
+    # snapshot last-writer-wins; compact_index collapses).  Every term of
+    # the deleted turns exists in the live dict by construction
+    # (deterministic tokenization), so an inner join is exact.
     if not man.is_done("delete_term_dict", unit):
         t0 = time.time()
-        old = _live_dict(spark, fmt, index_dir, stats["dict_gen"]).select(
-            "term", "term_id", "df", "cf"
-        )
+        old = _live_dict(spark, fmt, index_dir, stats)
         d = (
             term_stats_of(deleted_turns)
             .withColumnRenamed("df", "d_df")
             .withColumnRenamed("cf", "d_cf")
         )
-        updated = old.join(d, "term", "left").select(
+        updated = old.join(d, "term", "inner").select(
             "term",
             "term_id",
-            (F.col("df") - F.coalesce("d_df", F.lit(0))).alias("df"),
-            (F.col("cf") - F.coalesce("d_cf", F.lit(0))).alias("cf"),
+            (F.col("df") - F.col("d_df")).alias("df"),
+            (F.col("cf") - F.col("d_cf")).alias("cf"),
         )
         fmt.write(
             updated.select("term", "term_id", "df", "cf", F.lit(gen).alias("gen"))
@@ -232,12 +239,15 @@ def delete_convs(
     new_n = base_n - int(d["n"])
     if new_n <= 0:
         raise ValueError("delete_convs would empty the index; rebuild instead")
+    from ..sources.tables import dict_gens_of
+
     stats.update(
         {
             "N": new_n,
             "total_dl": base_total_dl - int(d["dl"]),
             "avgdl": (base_total_dl - int(d["dl"])) / new_n,
             "dict_gen": gen,
+            "dict_gens": sorted(set(dict_gens_of(stats)) | {gen}),
             "tombstones_unpurged": base_unpurged + int(d["docs"]),
         }
     )

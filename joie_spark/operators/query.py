@@ -151,12 +151,18 @@ class Index:
         self.postings = self._live_gens(
             self.fmt.read(spark, index_dir, "postings")
         )
-        # each term_dict generation is a COMPLETE dictionary snapshot;
-        # stats.dict_gen points at the live one (partition-pruned filter)
-        td = self.fmt.read(spark, index_dir, "term_dict")
-        if "gen" in td.columns:
-            td = td.where(F.col("gen") == int(self.stats.get("dict_gen", 0)))
-        self.term_dict = td
+        # the dictionary is a base snapshot plus per-append/delete DELTA
+        # partitions (stats.dict_gens); resolve_term_dict partition-prunes
+        # to the live set and merges last-writer-wins per term.  Filters
+        # on term/term_id (the grouping keys) still push into the scan;
+        # a single-gen set keeps the pre-delta plan (pure partition
+        # filter, no shuffle).
+        from ..sources.tables import dict_gens_of, resolve_term_dict
+
+        self.term_dict = resolve_term_dict(
+            self.fmt.read(spark, index_dir, "term_dict"),
+            dict_gens_of(self.stats),
+        )
         self._blocks: DataFrame | None = None
         self._doc_meta: DataFrame | None = None
         self._tombstones: DataFrame | None | bool = False  # False = unread
@@ -258,10 +264,23 @@ class Index:
         Index on delete/compact, so per-call table re-reads are avoided
         (ADVICE r4)."""
         if self._registry_tombstones is False:
-            from .delete import tombstone_docs
+            if self.stats.get("rows_purged") and not int(
+                self.stats.get("tombstones_unpurged", 0)
+            ):
+                # stats.rows_purged: every registered tombstone is
+                # physically absent from the row stores (set vacuously at
+                # build, re-established by each purge-compact) — with no
+                # unpurged deletes the anti-join could match nothing, so
+                # skip the registry read entirely.  Legacy indexes
+                # (compacted pre-purge) lack the marker and keep filtering.
+                self._registry_tombstones = None
+            else:
+                from .delete import tombstone_docs
 
-            t = tombstone_docs(self.spark, self.fmt, self.index_dir)
-            self._registry_tombstones = None if t is None else t.select("doc_id")
+                t = tombstone_docs(self.spark, self.fmt, self.index_dir)
+                self._registry_tombstones = (
+                    None if t is None else t.select("doc_id")
+                )
         return self._registry_tombstones
 
     def exclude_tombstones(self, df: DataFrame) -> DataFrame:

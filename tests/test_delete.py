@@ -383,3 +383,46 @@ def test_compact_row_purge_crash_resume(spark, t1_rows, tmp_path, monkeypatch):
     assert read_stats(d)["tombstones_unpurged"] == 0
     for q in QUERIES[:3]:
         assert _by_conv(eng, q) == _by_conv(ref, q), q
+
+
+def test_get_doc_skips_registry_after_purge(spark, t1_rows, tmp_path):
+    """stats.rows_purged: after a purge-compact the registry anti-join in
+    get_doc can match nothing (the dead rows are physically gone), so the
+    Index skips the registry read entirely; a subsequent delete re-engages
+    it until the next compact."""
+    from joie_spark.engine import Engine
+
+    a, gone = _split(t1_rows)
+    d = str(tmp_path / "ix_rp")
+    eng = Engine.build(
+        spark, spark.createDataFrame(t1_rows), d, n_buckets=8,
+        docs_per_block=8, block_chunks=1,
+    )
+    # fresh build: marker present, no registry table -> skip (None)
+    assert eng.index.stats.get("rows_purged") is True
+    assert eng.index.registry_tombstones is None
+
+    docs = {
+        r["conv_id"]: r["doc_id"]
+        for r in eng.index.doc_meta.select("conv_id", "doc_id").collect()
+    }
+    dead_doc, live_conv = docs[gone[0]], sorted(set(docs) - set(gone))[0]
+
+    eng.delete(gone)
+    # unpurged tombstones: registry engages, dead doc hidden
+    assert eng.index.registry_tombstones is not None
+    assert eng.get_doc(dead_doc).count() == 0
+    assert eng.get_doc(docs[live_conv]).count() > 0
+
+    eng.compact()
+    # purge-compact: marker restored, registry skipped, rows physically gone
+    assert eng.index.stats.get("rows_purged") is True
+    assert int(eng.index.stats.get("tombstones_unpurged", 0)) == 0
+    assert eng.index.registry_tombstones is None
+    assert eng.get_doc(dead_doc).count() == 0
+    assert eng.get_doc(docs[live_conv]).count() > 0
+
+    # a new delete re-engages the registry
+    eng.delete([live_conv])
+    assert eng.index.registry_tombstones is not None
+    assert eng.get_doc(docs[live_conv]).count() == 0
