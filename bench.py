@@ -252,34 +252,51 @@ def main() -> None:
         timings["engine_query_batch_highlighted"] = min(
             spreads["engine_query_batch_highlighted"]
         )
-        # incremental ingest: append a 10% delta (fresh conv_ids) as one
-        # generation — the daily-delta shape (operators/append.py)
+        # maintenance lifecycle, min-of-2 reps: append a 10% delta (fresh
+        # conv_ids), tombstone 10% of the ORIGINAL conversations (one
+        # metadata transaction — the target set stays a DataFrame), then
+        # compact (physical purge + generation + dictionary collapse).
+        # Each op mutates the index, so reps restore a pristine snapshot
+        # of the built index first (a single-shot number here invited
+        # false cross-round regression reads — these ops have ±30% rep
+        # noise on this host, same as every other entry).
         delta = transcripts.limit(n_turns // 10).withColumn(
             "conv_id", F.concat(F.lit("app-"), F.col("conv_id"))
         )
         n_delta = delta.count()
-        t0 = time.time()
-        eng.append(delta)
-        append_sec = time.time() - t0
+        snap = ix_dir + "_snap"
+        shutil.copytree(ix_dir, snap)
+        for _rep in range(2):
+            shutil.rmtree(ix_dir)
+            shutil.copytree(snap, ix_dir)
+            eng = Engine(spark, ix_dir)
+            t0 = time.time()
+            eng.append(delta)
+            spreads.setdefault("engine_append", []).append(
+                round(time.time() - t0, 3)
+            )
+            targets = (
+                eng.index.doc_meta.select("conv_id")
+                .where(F.col("conv_id").startswith("doc-"))
+                .orderBy("conv_id")
+                .limit(n_turns // 10)
+            )
+            t0 = time.time()
+            eng.delete(targets)
+            spreads.setdefault("engine_delete", []).append(
+                round(time.time() - t0, 3)
+            )
+            t0 = time.time()
+            eng.compact()
+            spreads.setdefault("engine_compact", []).append(
+                round(time.time() - t0, 3)
+            )
+        shutil.rmtree(snap, ignore_errors=True)
+        append_sec = min(spreads["engine_append"])
+        delete_sec = min(spreads["engine_delete"])
+        compact_sec = min(spreads["engine_compact"])
         timings["engine_append"] = round(append_sec, 3)
-        # delete/compact lifecycle (VERDICT r4 item 5): tombstone 10% of
-        # the ORIGINAL conversations (one metadata transaction — the
-        # target set stays a DataFrame, nothing is collected), then
-        # compact (physical purge + generation collapse).  Single-shot
-        # like build/append: each mutates the index state.
-        targets = (
-            eng.index.doc_meta.select("conv_id")
-            .where(F.col("conv_id").startswith("doc-"))
-            .orderBy("conv_id")
-            .limit(n_turns // 10)
-        )
-        t0 = time.time()
-        eng.delete(targets)
-        delete_sec = time.time() - t0
         timings["engine_delete"] = round(delete_sec, 3)
-        t0 = time.time()
-        eng.compact()
-        compact_sec = time.time() - t0
         timings["engine_compact"] = round(compact_sec, 3)
         n_post = len(eng.search_many(batch[:5], k=10).collect())
         assert n_post > 0  # the index still answers after the lifecycle
@@ -295,6 +312,7 @@ def main() -> None:
         }
     finally:
         shutil.rmtree(ix_dir, ignore_errors=True)
+        shutil.rmtree(ix_dir + "_snap", ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -75,9 +75,11 @@ def append_stream(
     batches drown in per-generation latency while the marginal per-turn
     cost is small.  Size batches so the fixed cost amortizes — thousands
     of turns per trigger (maxFilesPerTrigger / a processing-time trigger
-    of minutes, not seconds) — and run compact_index periodically to
-    collapse the accumulated generations and re-tighten block-max
-    bounds."""
+    of minutes, not seconds; each batch also adds a term_dict DELTA
+    partition — O(batch's terms), cheap, but lookups merge one more
+    partition until the next collapse) — and run compact_index
+    periodically to collapse the accumulated generations (data AND
+    dictionary deltas) and re-tighten block-max bounds."""
     from ..operators.append import append_index
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
