@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 import joie_spark.pipeline.ann as ann
+import joie_spark.pipeline.decontaminate as decon
 import joie_spark.pipeline.dedup as dedup
 import joie_spark.pipeline.text as text
 
@@ -286,6 +287,30 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, sample_mod=25, threshold=0.02)
 
 
+def q_decon_hits(spark, sf_dir):
+    """Benchmark decontamination, detection stage (pipeline/
+    decontaminate.py contamination_hits): docs sharing any word 4-gram
+    with the benchmark slice (doc_id % 41 == 0 — a deterministic
+    stand-in for an eval set; no external data).  The benchmark n-gram
+    set is broadcast; the corpus is never shuffled."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 41 == 0)
+    pool = docs.where(F.col("doc_id") % 41 != 0)
+    return decon.contamination_hits(pool, bench, n=4).orderBy("doc_id")
+
+
+def q_decon_corpus(spark, sf_dir):
+    """End of the decontamination pipeline: the training pool minus
+    contaminated docs (pipeline/decontaminate.py decontaminated_corpus
+    — broadcast anti-join, corpus keeps its scan partitioning)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 41 == 0)
+    pool = docs.where(F.col("doc_id") % 41 != 0)
+    return decon.decontaminated_corpus(pool, bench, n=4).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):  # rows-only: xxhash64 not SQL-portable
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), k=32, bands=8)
 
@@ -536,6 +561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": q_dedup_corpus,
         "dup_clusters": q_dup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
+        "decon_hits": q_decon_hits,
+        "decon_corpus": q_decon_corpus,
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_portable": q_minhash_lsh_portable,
         "minhash_lsh_verified": q_minhash_lsh_verified,
@@ -813,6 +840,30 @@ def oracle_sql() -> dict[str, str]:
               AND round(len(list_intersect(a.s, b.s))::DOUBLE /
                         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE, 4)
                   > 0.02""",
+        "decon_hits": f"""
+            WITH sh AS (
+              SELECT doc_id, list_distinct(
+                list_transform(generate_series(1, greatest(len({TOK_DD}) - 3, 0)),
+                               i -> array_to_string(({TOK_DD})[i:i+3], ' '))) AS s
+              FROM documents),
+            bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 41 = 0),
+            tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 41 != 0)
+            SELECT tr.doc_id, count(DISTINCT tr.g)::BIGINT AS n_hits
+            FROM tr JOIN bench USING (g)
+            GROUP BY tr.doc_id HAVING count(DISTINCT tr.g) >= 1
+            ORDER BY tr.doc_id""",
+        "decon_corpus": f"""
+            WITH sh AS (
+              SELECT doc_id, list_distinct(
+                list_transform(generate_series(1, greatest(len({TOK_DD}) - 3, 0)),
+                               i -> array_to_string(({TOK_DD})[i:i+3], ' '))) AS s
+              FROM documents),
+            bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 41 = 0),
+            tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 41 != 0),
+            bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN bench USING (g))
+            SELECT d.doc_id, d.source, d.n_chars FROM documents d
+            WHERE d.doc_id % 41 != 0
+              AND d.doc_id NOT IN (SELECT doc_id FROM bad)""",
         "minhash_lsh_portable": _minhash_portable_oracle(),
         "ann_lsh_bucketed_portable": _ann_portable_oracle(),
         "ann_ivf_portable": _ann_ivf_portable_oracle(),

@@ -37,6 +37,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "quality_score",
+    "decon_corpus",
     "pricing_summary",
     "join_revenue_topk",
 ]

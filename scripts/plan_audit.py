@@ -211,6 +211,22 @@ def main() -> None:
         for ln in ch.splitlines()
     )
 
+    # 5f. benchmark decontamination (pipeline/decontaminate.py): the
+    # benchmark n-gram set and the contaminated-id set must BOTH lower to
+    # broadcast hash joins (inner detect + LeftAnti purge) — the corpus
+    # itself is never shuffled, only the hit rows reach the groupBy
+    import __spark_entry__ as entrymod
+
+    plan_dc = explain_str(
+        entrymod.queries()["decon_corpus"](spark, "/root/testdata/sf0.001")
+    )
+    results["decon_broadcast_detect_and_purge"] = (
+        sum("BroadcastHashJoin" in ln for ln in plan_dc.splitlines()) >= 2
+        and "LeftAnti" in plan_dc
+        and "BroadcastNestedLoopJoin" not in plan_dc
+        and "CartesianProduct" not in plan_dc
+    )
+
     # 6. no cross join in any headline bench query (VERDICT r1: the bench
     # must measure the scale paths, not the sampled pairwise oracles)
     import __spark_entry__ as entrymod

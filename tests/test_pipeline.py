@@ -5,7 +5,7 @@ multimodal plumbing shape."""
 import pytest
 from pyspark.sql import functions as F
 
-from joie_spark.pipeline import ann, dedup, multimodal
+from joie_spark.pipeline import ann, decontaminate as decon, dedup, multimodal
 
 
 @pytest.fixture(scope="module")
@@ -489,3 +489,77 @@ def test_deduped_corpus_keeps_representatives(docs):
     assert kept == all_ids - losers
     # representatives (cluster minima) survive
     assert all(c in kept for c in clusters.values())
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (pipeline/decontaminate.py)
+
+
+@pytest.fixture(scope="module")
+def decon_tables(spark):
+    """A tiny benchmark set + a training pool with PLANTED contamination:
+    doc 10 embeds benchmark passage A verbatim, doc 11 shares exactly one
+    4-gram with passage B, doc 12 shares a 3-gram but NO 4-gram, docs
+    20+ are disjoint."""
+    bench = spark.createDataFrame(
+        [
+            (1000, "the quick brown fox jumps over the lazy dog"),
+            (1001, "pack my box with five dozen liquor jugs"),
+        ],
+        "doc_id long, text string",
+    )
+    pool = spark.createDataFrame(
+        [
+            # verbatim benchmark passage inside unrelated text
+            (10, "intro words then the quick brown fox jumps and more"),
+            # exactly one shared 4-gram: "pack my box with"
+            (11, "please pack my box with care tomorrow"),
+            # longest shared run is the 3-gram "five dozen liquor"
+            (12, "buy five dozen liquor bottles today"),
+            (20, "completely unrelated content about spark plans"),
+            (21, "another clean document with fresh words"),
+        ],
+        "doc_id long, text string",
+    )
+    return bench, pool
+
+
+def test_contamination_hits_planted(decon_tables):
+    bench, pool = decon_tables
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in decon.contamination_hits(pool, bench, n=4).collect()
+    }
+    assert set(got) == {10, 11}  # 12 shares only a 3-gram; 20/21 clean
+    assert got[11] == 1  # exactly the one planted 4-gram
+    assert got[10] >= 2  # "the quick brown fox" + "quick brown fox jumps"
+    # a 3-gram rule must additionally catch doc 12
+    got3 = {
+        r["doc_id"] for r in decon.contamination_hits(pool, bench, n=3).collect()
+    }
+    assert 12 in got3 and {10, 11} <= got3
+
+
+def test_contamination_min_hits_threshold(decon_tables):
+    bench, pool = decon_tables
+    got = {
+        r["doc_id"] for r in decon.contamination_hits(pool, bench, n=4, min_hits=2).collect()
+    }
+    assert got == {10}  # doc 11's single hit falls under the threshold
+
+
+def test_decontaminated_corpus_drops_only_flagged(decon_tables):
+    bench, pool = decon_tables
+    kept = {r["doc_id"] for r in decon.decontaminated_corpus(pool, bench, n=4).collect()}
+    assert kept == {12, 20, 21}
+    # schema passthrough: corpus columns unchanged
+    assert decon.decontaminated_corpus(pool, bench, n=4).columns == pool.columns
+
+
+def test_decontamination_plan_broadcasts_benchmark(decon_tables):
+    """Scale shape: the benchmark n-gram side and the contaminated-id set
+    are broadcast — no shuffle of the corpus, no cross join."""
+    bench, pool = decon_tables
+    plan = decon.decontaminated_corpus(pool, bench, n=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
