@@ -343,6 +343,16 @@ def q_simhash_pairs(spark, sf_dir):  # rows-only (pytest pigeonhole-recall
     return dedup.simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def q_simhash_pairs_portable(spark, sf_dir):
+    """Same banded pair generation (16-bit chunk equi-join + exact
+    bit_count(xor) verify) on the SQL-portable md5-derived signature —
+    the banding/verify machinery itself gets a full VALUE oracle (the
+    fast xxhash64 path stays rows-only + pytest pigeonhole-recall)."""
+    return dedup.simhash_neardup_pairs(
+        _docs(spark, sf_dir), max_hamming=3, portable_hash=True
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     # corpus embeddings are near-isotropic (sampled cos p99.9 ~0.46):
     # threshold 0.30 yields a real result set to value-check
@@ -569,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_portable": q_simhash_portable,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_pairs_portable": q_simhash_pairs_portable,
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
@@ -742,6 +753,22 @@ def _simhash_portable_oracle() -> str:
             SELECT doc_id, ({sig})::BIGINT AS simhash FROM agg"""
 
 
+def _simhash_pairs_portable_oracle() -> str:
+    """Banded near-dup pairs over the portable signature: the same
+    16-bit-chunk pigeonhole equi-join + exact bit_count(xor) verify as
+    dedup.simhash_neardup_pairs, in DuckDB."""
+    return f"""
+            WITH sig AS ({_simhash_portable_oracle()}),
+            ch AS (SELECT doc_id, simhash, c,
+                          (simhash >> (c * 16)) & 65535 AS v
+                   FROM sig, generate_series(0, 3) g(c))
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                   bit_count(xor(l.simhash, r.simhash))::INTEGER AS hamming
+            FROM ch l JOIN ch r ON l.c = r.c AND l.v = r.v
+                                AND l.doc_id < r.doc_id
+            WHERE bit_count(xor(l.simhash, r.simhash)) <= 3"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "token_stats": f"""
@@ -868,6 +895,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_bucketed_portable": _ann_portable_oracle(),
         "ann_ivf_portable": _ann_ivf_portable_oracle(),
         "simhash_portable": _simhash_portable_oracle(),
+        "simhash_pairs_portable": _simhash_pairs_portable_oracle(),
         "embedding_neardup": """
             WITH p AS (
               SELECT a.vec_id AS a, b.vec_id AS b,

@@ -315,7 +315,10 @@ def _simhash64_reference(docs: DataFrame) -> DataFrame:
 
 
 def simhash_neardup_pairs(
-    docs: DataFrame, max_hamming: int = 3, n_chunks: int = 4
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Banded SimHash near-dup pairs: bucket on 16-bit signature chunks.
 
@@ -333,7 +336,7 @@ def simhash_neardup_pairs(
     # persist: both sides of the self-join read the SAME signature pass —
     # unpersisted, the tokenize+16-accumulator agg runs twice (the same
     # shared-pass fix the minhash verify join got in r3)
-    sigs = simhash64(docs).persist()
+    sigs = simhash64(docs, portable_hash=portable_hash).persist()
     chunked = sigs.select(
         "doc_id",
         "simhash",
