@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 import joie_spark.pipeline.ann as ann
 import joie_spark.pipeline.decontaminate as decon
+import joie_spark.pipeline.sampling as sampling
 import joie_spark.pipeline.dedup as dedup
 import joie_spark.pipeline.text as text
 
@@ -343,6 +344,23 @@ def q_simhash_pairs(spark, sf_dir):  # rows-only (pytest pigeonhole-recall
     return dedup.simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (pipeline/sampling.py
+    with_split): salted-hash thresholds, map-side only — membership is
+    stable across re-runs, partitioning, and cluster size (an RNG
+    sample is not), so a doc can never silently migrate into val."""
+    return sampling.with_split(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling (pipeline/sampling.py
+    stratified_sample): 20% per lang, 50% for 'de' — pure map-side
+    filter, zero shuffles at any corpus size."""
+    return sampling.stratified_sample(
+        _docs(spark, sf_dir), 0.2, strata="lang", fractions={"de": 0.5}
+    ).select("doc_id", "lang")
+
+
 def q_simhash_pairs_portable(spark, sf_dir):
     """Same banded pair generation (16-bit chunk equi-join + exact
     bit_count(xor) verify) on the SQL-portable md5-derived signature —
@@ -573,6 +591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "decon_hits": q_decon_hits,
         "decon_corpus": q_decon_corpus,
+        "split_assign": q_split_assign,
+        "stratified_sample": q_stratified_sample,
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_portable": q_minhash_lsh_portable,
         "minhash_lsh_verified": q_minhash_lsh_verified,
@@ -891,6 +911,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source, d.n_chars FROM documents d
             WHERE d.doc_id % 41 != 0
               AND d.doc_id NOT IN (SELECT doc_id FROM bad)""",
+        "split_assign": f"""
+            WITH u AS (SELECT doc_id,
+                ({_dd_hash64("doc_id::VARCHAR", "split")})::DOUBLE
+                  / 1152921504606846976.0 AS u
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN u < {0.90!r} THEN 'train'
+                        WHEN u < {0.90 + 0.05!r} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM u""",
+        "stratified_sample": f"""
+            WITH u AS (SELECT doc_id, lang,
+                ({_dd_hash64("lang || '|' || doc_id::VARCHAR", "sample")})::DOUBLE
+                  / 1152921504606846976.0 AS u
+              FROM documents)
+            SELECT doc_id, lang FROM u
+            WHERE u < CASE WHEN lang = 'de' THEN 0.5 ELSE 0.2 END""",
         "minhash_lsh_portable": _minhash_portable_oracle(),
         "ann_lsh_bucketed_portable": _ann_portable_oracle(),
         "ann_ivf_portable": _ann_ivf_portable_oracle(),

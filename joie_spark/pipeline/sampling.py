@@ -1,0 +1,103 @@
+"""Deterministic splits and stratified sampling for training pipelines.
+
+Both operators assign rows by a salted content hash rather than an RNG
+(`df.sample`/`sampleBy` draw per-task random numbers, so membership
+changes with partitioning, retries, and cluster size).  Hash-threshold
+assignment gives the properties a training-data pipeline actually
+needs:
+
+- **Stable**: a document's split depends only on (salt, key) — re-runs,
+  AQE re-plans, and scale-ups never move it between train and val (no
+  silent eval contamination across pipeline versions).
+- **Map-side only**: a filter/case expression inside the scan's codegen
+  stage — ZERO shuffles at any corpus size; at 100 TB the split is free.
+- **SQL-portable**: the same md5-derived uniform is expressible in
+  DuckDB, so assignments are value-oracled end-to-end (driver entries
+  split_assign / stratified_sample).
+
+The uniform is the top 60 bits of md5(salt ':' key) / 2^60 — the same
+portable-hash recipe as dedup._hash64_sql (minhash/simhash portable
+twins).  md5 costs more than xxhash64 per row, but one hash per ROW
+(not per shingle) is noise next to the scan, and portability buys the
+oracle; swap `_uniform` for xxhash64 if a profiler ever says otherwise.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_SPACE = float(1 << 60)
+
+
+def _uniform(key: Column, salt: str) -> Column:
+    """Deterministic uniform in [0, 1) from (salt, key) — identical
+    expression in DuckDB (('0x' || substr(md5(..), 1, 15))::BIGINT)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h.cast("double") / F.lit(_HASH_SPACE)
+
+
+def with_split(
+    docs: DataFrame,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.90),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    key: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Adds a `split` column: deterministic weighted assignment.
+
+    `weights` are (name, fraction) in priority order; fractions must sum
+    to 1 (validated).  Assignment: u < c1 -> first, u < c1+c2 -> second,
+    ...; the last split takes the remainder, so float rounding can never
+    leave a row unassigned."""
+    total = sum(w for _, w in weights)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = _uniform(F.col(key), salt)
+    expr = F.lit(weights[-1][0])
+    cum = 0.0
+    branches = []
+    for name, w in weights[:-1]:
+        cum += w
+        branches.append((cum, name))
+    for cum, name in reversed(branches):
+        expr = F.when(u < cum, F.lit(name)).otherwise(expr)
+    return docs.withColumn("split", expr)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fraction: float,
+    strata: str | None = None,
+    fractions: dict[str, float] | None = None,
+    key: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic (approximately) fraction-per-stratum sample.
+
+    With `strata` + `fractions`, each stratum s keeps rows with
+    u < fractions.get(s, fraction); otherwise a flat `fraction` applies
+    globally.  Salting the hash by the STRATUM as well as the row key
+    decorrelates samples across strata definitions.  Pure map-side
+    filter — the sample of a 100 TB corpus costs one scan."""
+    if strata is None:
+        return docs.where(_uniform(F.col(key), salt) < fraction)
+    u = _uniform(F.concat(F.col(strata), F.lit("|"), F.col(key)), salt)
+    thresh = F.lit(float(fraction))
+    if fractions:
+        expr = F.lit(float(fraction))
+        for s, fr in sorted(fractions.items()):
+            expr = F.when(F.col(strata) == s, F.lit(float(fr))).otherwise(expr)
+        thresh = expr
+    return docs.where(u < thresh)

@@ -1,0 +1,80 @@
+"""Deterministic split / stratified sampling (pipeline/sampling.py):
+stability across partitioning (the property RNG sampling lacks),
+weight validation, proportions, and the zero-shuffle plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from joie_spark.pipeline import sampling
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"text {i}", ["en", "de", "fr"][i % 3]) for i in range(600)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_split_stable_across_partitioning(docs):
+    a = {r["doc_id"]: r["split"] for r in sampling.with_split(docs).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in sampling.with_split(docs.repartition(13)).collect()
+    }
+    assert a == b  # membership never moves with partitioning / re-runs
+    assert set(a.values()) == {"train", "val", "test"}
+
+
+def test_split_proportions_and_exhaustive(docs):
+    counts = (
+        sampling.with_split(docs).groupBy("split").count().collect()
+    )
+    got = {r["split"]: r["count"] for r in counts}
+    assert sum(got.values()) == 600  # every row assigned exactly once
+    assert 0.80 <= got["train"] / 600 <= 0.97  # ~0.90 at n=600
+
+
+def test_split_weights_validated(docs):
+    with pytest.raises(ValueError, match="sum to 1"):
+        sampling.with_split(docs, weights=(("train", 0.5), ("val", 0.1)))
+
+
+def test_split_disjoint_under_salt_change(docs):
+    a = {r["doc_id"]: r["split"] for r in sampling.with_split(docs).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in sampling.with_split(docs, salt="v2").collect()
+    }
+    assert a != b  # a new salt re-deals the assignment
+
+
+def test_stratified_fractions(docs):
+    got = sampling.stratified_sample(
+        docs, 0.2, strata="lang", fractions={"de": 0.6}
+    )
+    counts = {r["lang"]: r["count"] for r in got.groupBy("lang").count().collect()}
+    assert 0.4 <= counts["de"] / 200 <= 0.8  # ~0.6
+    for lang in ("en", "fr"):
+        assert 0.1 <= counts[lang] / 200 <= 0.32  # ~0.2
+    # subset of the corpus, deterministic on re-run
+    again = sampling.stratified_sample(
+        docs, 0.2, strata="lang", fractions={"de": 0.6}
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_flat_sample_fraction(docs):
+    got = sampling.stratified_sample(docs, 0.25).count()
+    assert 0.15 * 600 <= got <= 0.35 * 600
+
+
+def test_sampling_plan_is_map_side(docs):
+    """Scale shape: split assignment and sampling are pure scan-stage
+    expressions — no Exchange (shuffle) anywhere in the plan."""
+    for df in (
+        sampling.with_split(docs),
+        sampling.stratified_sample(docs, 0.2, strata="lang"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
