@@ -361,6 +361,17 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe split (pipeline/sampling.py cluster_safe_split):
+    assignment hashes the duplicate-cluster representative so near-dup
+    pairs can never straddle the train/val boundary.  Pair source: the
+    oracle-able sampled n-gram Jaccard (same as dup_clusters; the scale
+    path feeds minhash_lsh_verified pairs instead)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, sample_mod=5, threshold=0.5)
+    return sampling.cluster_safe_split(docs, pairs).select("doc_id", "split")
+
+
 def q_simhash_pairs_portable(spark, sf_dir):
     """Same banded pair generation (16-bit chunk equi-join + exact
     bit_count(xor) verify) on the SQL-portable md5-derived signature —
@@ -593,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decon_corpus": q_decon_corpus,
         "split_assign": q_split_assign,
         "stratified_sample": q_stratified_sample,
+        "leakage_safe_split": q_leakage_safe_split,
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_portable": q_minhash_lsh_portable,
         "minhash_lsh_verified": q_minhash_lsh_verified,
@@ -928,6 +940,22 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id, lang FROM u
             WHERE u < CASE WHEN lang = 'de' THEN 0.5 ELSE 0.2 END""",
+        "leakage_safe_split": f"""
+            {_CLUSTER_CTE},
+            clusters AS (SELECT v AS doc_id, min(u) AS cluster_id
+                         FROM reach GROUP BY v),
+            rep AS (SELECT d.doc_id,
+                           coalesce(c.cluster_id, d.doc_id) AS rep
+                    FROM documents d LEFT JOIN clusters c USING (doc_id)),
+            uu AS (SELECT doc_id,
+                ({_dd_hash64("rep::VARCHAR", "split")})::DOUBLE
+                  / 1152921504606846976.0 AS u
+              FROM rep)
+            SELECT doc_id,
+                   CASE WHEN u < {0.90!r} THEN 'train'
+                        WHEN u < {0.90 + 0.05!r} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM uu""",
         "minhash_lsh_portable": _minhash_portable_oracle(),
         "ann_lsh_bucketed_portable": _ann_portable_oracle(),
         "ann_ivf_portable": _ann_ivf_portable_oracle(),

@@ -76,6 +76,42 @@ def with_split(
     return docs.withColumn("split", expr)
 
 
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.90),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    key: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe split: hash the duplicate-CLUSTER representative,
+    not the document, so near-duplicates always land in the same split.
+
+    Per-doc assignment silently leaks training data into val whenever a
+    near-duplicate pair straddles the boundary — with 10% val and d
+    duplicated docs, ~19% of d leaks.  `pairs` is any (a, b) near-dup
+    pair source (minhash_lsh_verified at scale; ngram_jaccard_pairs for
+    the oracle); clusters come from the distributed min-label
+    propagation (dedup.duplicate_clusters), docs outside any cluster
+    hash their own key.  The cluster map is near-dup-sized, hence
+    broadcast — the corpus itself is never shuffled (same shape as
+    dedup.deduped_corpus)."""
+    from .dedup import duplicate_clusters
+
+    clusters = duplicate_clusters(pairs.select("a", "b"))
+    rep = F.coalesce(F.col("cluster_id"), F.col(key))
+    return (
+        docs.join(F.broadcast(clusters), key, "left")
+        .withColumn("_rep", rep)
+        .drop("cluster_id")
+        .transform(lambda d: with_split(d, weights, key="_rep", salt=salt))
+        .drop("_rep")
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     fraction: float,

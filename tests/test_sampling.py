@@ -78,3 +78,22 @@ def test_sampling_plan_is_map_side(docs):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_cluster_safe_split_keeps_neardups_together(docs, spark):
+    """Near-dup pairs must never straddle the train/val boundary: all
+    members of a cluster (incl. transitive chains) share one split, and
+    docs outside any cluster keep their plain with_split assignment."""
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (10, 11)], "a long, b long")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in sampling.cluster_safe_split(docs, pairs).collect()
+    }
+    assert len(got) == 600
+    assert got[0] == got[1] == got[2]  # transitive chain, one split
+    assert got[10] == got[11]
+    plain = {r["doc_id"]: r["split"] for r in sampling.with_split(docs).collect()}
+    clustered = {0, 1, 2, 10, 11}
+    assert all(got[d] == plain[d] for d in got if d not in clustered)
+    # cluster representative (min id) anchors the hash
+    assert got[0] == plain[0] and got[10] == plain[10]
