@@ -361,6 +361,16 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Epoch-weighted corpus mixture (pipeline/sampling.py
+    mixture_sample): src0 x2.5 (two full copies + a deterministic half
+    get a third), src1 x0.5, src2 dropped, everything else x1 — one
+    map-side explode, no join, no shuffle."""
+    return sampling.mixture_sample(
+        _docs(spark, sf_dir), {"src0": 2.5, "src1": 0.5, "src2": 0.0}
+    ).select("doc_id", "source", "epoch")
+
+
 def q_leakage_safe_split(spark, sf_dir):
     """Leakage-safe split (pipeline/sampling.py cluster_safe_split):
     assignment hashes the duplicate-cluster representative so near-dup
@@ -605,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "stratified_sample": q_stratified_sample,
         "leakage_safe_split": q_leakage_safe_split,
+        "mixture_sample": q_mixture_sample,
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_portable": q_minhash_lsh_portable,
         "minhash_lsh_verified": q_minhash_lsh_verified,
@@ -940,6 +951,21 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id, lang FROM u
             WHERE u < CASE WHEN lang = 'de' THEN 0.5 ELSE 0.2 END""",
+        "mixture_sample": f"""
+            WITH u AS (SELECT doc_id, source,
+                ({_dd_hash64("source || '|' || doc_id::VARCHAR", "mix")})::DOUBLE
+                  / 1152921504606846976.0 AS u
+              FROM documents),
+            c AS (SELECT doc_id, source,
+                CASE WHEN source = 'src0'
+                       THEN list_concat([0, 1],
+                            CASE WHEN u < 0.5 THEN [2] ELSE []::INT[] END)
+                     WHEN source = 'src1'
+                       THEN CASE WHEN u < 0.5 THEN [0] ELSE []::INT[] END
+                     WHEN source = 'src2' THEN []::INT[]
+                     ELSE [0] END AS arr
+              FROM u)
+            SELECT doc_id, source, unnest(arr) AS epoch FROM c""",
         "leakage_safe_split": f"""
             {_CLUSTER_CTE},
             clusters AS (SELECT v AS doc_id, min(u) AS cluster_id

@@ -112,6 +112,59 @@ def cluster_safe_split(
     )
 
 
+def mixture_sample(
+    docs: DataFrame,
+    epochs: dict[str, float],
+    default_epochs: float = 1.0,
+    source_col: str = "source",
+    key: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted corpus mixture by per-source EPOCH counts — how training
+    mixtures are actually specified (source A x2.5, source B x0.5, ...).
+
+    Epochs e for a source mean: floor(e) full copies of every document
+    plus a deterministic (e - floor(e)) fraction getting one more copy;
+    e = 0 drops the source.  Output adds an `epoch` column (0-based copy
+    index) so the trainer can interleave copies instead of replaying
+    them back-to-back.
+
+    Plan shape: a per-row CASE builds the copy-index array and ONE
+    explode emits the copies — a single map-side pass, no join, no
+    shuffle; output size is sum_s e_s * |s| by construction.  The
+    fractional draw reuses the salted portable uniform, so membership
+    is stable across runs and the whole operator is SQL-oracle-able
+    (driver entry mixture_sample)."""
+    for s, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"epochs must be >= 0, got {s}={e}")
+    if default_epochs < 0:
+        raise ValueError(f"default_epochs must be >= 0, got {default_epochs}")
+    u = _uniform(F.concat(F.col(source_col), F.lit("|"), F.col(key)), salt)
+
+    def copies(e: float) -> Column:
+        n_full = int(e)
+        frac = e - n_full
+        full = (
+            F.expr(f"sequence(0, {n_full - 1})")
+            if n_full > 0
+            else F.array().cast("array<int>")
+        )
+        if frac > 0.0:
+            return F.concat(
+                full,
+                F.when(u < F.lit(frac), F.array(F.lit(n_full))).otherwise(
+                    F.array().cast("array<int>")
+                ),
+            )
+        return full
+
+    arr = copies(default_epochs)
+    for s, e in sorted(epochs.items()):
+        arr = F.when(F.col(source_col) == s, copies(e)).otherwise(arr)
+    return docs.withColumn("epoch", F.explode(arr))
+
+
 def stratified_sample(
     docs: DataFrame,
     fraction: float,

@@ -97,3 +97,43 @@ def test_cluster_safe_split_keeps_neardups_together(docs, spark):
     assert all(got[d] == plain[d] for d in got if d not in clustered)
     # cluster representative (min id) anchors the hash
     assert got[0] == plain[0] and got[10] == plain[10]
+
+
+def test_mixture_sample_epochs(docs):
+    """Epoch semantics: floor(e) full copies + a deterministic fraction
+    getting one more; e=0 drops the source; epoch is the 0-based copy
+    index so trainers can interleave."""
+    got = sampling.mixture_sample(
+        docs, {"en": 2.5, "de": 0.5, "fr": 0.0}, source_col="lang"
+    )
+    rows = got.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((r["doc_id"], r["epoch"]))
+    assert "fr" not in by_lang
+    # en: every doc has epochs 0 and 1; ~half additionally 2
+    en_epochs = {}
+    for d, ep in by_lang["en"]:
+        en_epochs.setdefault(d, set()).add(ep)
+    assert all({0, 1} <= eps for eps in en_epochs.values())
+    n_third = sum(1 for eps in en_epochs.values() if 2 in eps)
+    assert 0.3 * 200 <= n_third <= 0.7 * 200
+    # de: no full copy, ~half the docs once at epoch 0
+    assert all(ep == 0 for _, ep in by_lang["de"])
+    assert 0.3 * 200 <= len(by_lang["de"]) <= 0.7 * 200
+    # deterministic on re-run
+    again = sampling.mixture_sample(
+        docs, {"en": 2.5, "de": 0.5, "fr": 0.0}, source_col="lang"
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_mixture_sample_validates(docs):
+    with pytest.raises(ValueError, match=">= 0"):
+        sampling.mixture_sample(docs, {"en": -1.0}, source_col="lang")
+
+
+def test_mixture_sample_plan_is_map_side(docs):
+    df = sampling.mixture_sample(docs, {"en": 2.5}, source_col="lang")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
