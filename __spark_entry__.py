@@ -344,6 +344,23 @@ def q_simhash_pairs(spark, sf_dir):  # rows-only (pytest pigeonhole-recall
     return dedup.simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrubbing (pipeline/text.py redact_pii).  The synthetic
+    corpus contains no PII, so this row's green value check pins the
+    no-match identity (counts 0, text unchanged) and the regex parity
+    across engines; PLANTED email/IP/phone values are pytest-oracled
+    (tests/test_pipeline.py test_redact_pii_planted) — same division of
+    labor as dedup_exact."""
+    return text.redact_pii(_docs(spark, sf_dir))
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (pipeline/text.py
+    repetition_stats): duplicate-line / 2-gram / 5-gram occurrence
+    fractions — pure array arithmetic on the scan, no shuffle."""
+    return text.repetition_stats(_docs(spark, sf_dir))
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic train/val/test assignment (pipeline/sampling.py
     with_split): salted-hash thresholds, map-side only — membership is
@@ -612,6 +629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "decon_hits": q_decon_hits,
         "decon_corpus": q_decon_corpus,
+        "repetition_stats": q_repetition_stats,
+        "redact_pii": q_redact_pii,
         "split_assign": q_split_assign,
         "stratified_sample": q_stratified_sample,
         "leakage_safe_split": q_leakage_safe_split,
@@ -796,6 +815,28 @@ def _simhash_portable_oracle() -> str:
             SELECT doc_id, ({sig})::BIGINT AS simhash FROM agg"""
 
 
+def _redact_pii_oracle() -> str:
+    """Chained-CTE DuckDB twin of text.redact_pii, generated from the
+    same PII_PATTERNS tuple so the pattern strings cannot drift."""
+    ctes, carried = [], []
+    prev = "s0"
+    ctes.append("s0 AS (SELECT doc_id, text AS red FROM documents)")
+    for i, (name, pat, repl) in enumerate(text.PII_PATTERNS, 1):
+        keep = ", ".join(carried + [""]) if carried else ""
+        ctes.append(
+            f"s{i} AS (SELECT doc_id, {keep}"
+            f"len(regexp_extract_all(red, '{pat}'))::BIGINT AS n_{name}, "
+            f"regexp_replace(red, '{pat}', '{repl}', 'g') AS red FROM {prev})"
+        )
+        carried.append(f"n_{name}")
+        prev = f"s{i}"
+    cols = ", ".join(f"n_{name}" for name, _, _ in text.PII_PATTERNS)
+    return (
+        "WITH " + ",\n            ".join(ctes)
+        + f"\n            SELECT doc_id, red AS text_redacted, {cols} FROM {prev}"
+    )
+
+
 def _simhash_pairs_portable_oracle() -> str:
     """Banded near-dup pairs over the portable signature: the same
     16-bit-chunk pigeonhole equi-join + exact bit_count(xor) verify as
@@ -934,6 +975,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source, d.n_chars FROM documents d
             WHERE d.doc_id % 41 != 0
               AND d.doc_id NOT IN (SELECT doc_id FROM bad)""",
+        "redact_pii": _redact_pii_oracle(),
+        "repetition_stats": f"""
+            WITH base AS (SELECT doc_id, string_split(text, chr(10)) AS lines,
+                                 {TOK_DD} AS tok
+                          FROM documents),
+            g AS (SELECT doc_id, lines,
+                 list_transform(generate_series(1, greatest(len(tok) - 1, 0)),
+                                i -> array_to_string(tok[i:i+1], ' ')) AS g2,
+                 list_transform(generate_series(1, greatest(len(tok) - 4, 0)),
+                                i -> array_to_string(tok[i:i+4], ' ')) AS g5
+              FROM base)
+            SELECT doc_id,
+                   len(lines)::BIGINT AS n_lines,
+                   round(CASE WHEN len(lines) > 0 THEN
+                     (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines)
+                     ELSE 0 END, 4) AS dup_line_frac,
+                   round(CASE WHEN len(g2) > 0 THEN
+                     (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2)
+                     ELSE 0 END, 4) AS dup_2gram_frac,
+                   round(CASE WHEN len(g5) > 0 THEN
+                     (len(g5) - len(list_distinct(g5)))::DOUBLE / len(g5)
+                     ELSE 0 END, 4) AS dup_5gram_frac
+            FROM g""",
         "split_assign": f"""
             WITH u AS (SELECT doc_id,
                 ({_dd_hash64("doc_id::VARCHAR", "split")})::DOUBLE

@@ -121,3 +121,86 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(F.concat_ws(" ", F.col("tokens"))).alias("fp"),
     )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021
+    §A1.1: documents dominated by repeated lines/n-grams are boilerplate
+    or spam and get filtered before training).
+
+    Emitted per doc, all as repeated-occurrence fractions
+    1 - distinct/total (0 = no repetition, -> 1 = one unit repeated):
+      dup_line_frac   over newline-split lines,
+      dup_2gram_frac  over token 2-grams,
+      dup_5gram_frac  over token 5-grams.
+
+    Everything is array arithmetic on the scan — whole-stage codegen,
+    no explode, no shuffle; identical list expressions run in the DuckDB
+    oracle (driver entry repetition_stats).  The per-doc *top* n-gram
+    share (Gopher's other family) needs a per-doc mode aggregation
+    (explode + count) — deliberately omitted from this map-side
+    operator; the dup fractions catch the same pathological docs."""
+
+    def _dup_frac(arr) -> Column:
+        n = F.size(arr).cast("double")
+        nd = F.size(F.array_distinct(arr)).cast("double")
+        return F.round(
+            F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0)), 4
+        )
+
+    def _grams(n: int) -> Column:
+        return F.expr(
+            f"CASE WHEN size(tokens) < {n} THEN array()"
+            f" ELSE transform(sequence(0, size(tokens) - {n}),"
+            f" i -> concat_ws(' ', slice(tokens, i + 1, {n}))) END"
+        )
+
+    d = with_tokens(docs)
+    lines = F.split(F.col("text"), "\n")
+    return d.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        _dup_frac(lines).alias("dup_line_frac"),
+        _dup_frac(_grams(2)).alias("dup_2gram_frac"),
+        _dup_frac(_grams(5)).alias("dup_5gram_frac"),
+    )
+
+
+# PII redaction patterns — deliberately RE2-compatible (no lookarounds,
+# no backrefs) so the SAME pattern strings run in Java regex (Spark) and
+# RE2 (DuckDB oracle).  Order matters and is fixed: emails first (their
+# digit runs must not be eaten as phones), then IPv4 (also phone-shaped),
+# then phones — each stage counts/redacts on the PREVIOUS stage's output,
+# so nothing is double-counted.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """Rule-based PII scrubbing (emails, IPv4, phone-shaped digit runs)
+    — the pre-training redaction pass every public corpus pipeline runs
+    (C4 and friends).  Regex-only by design: model-based PII detection
+    is out of scope for a relational engine.
+
+    Output: doc_id, redacted text, and a per-category count.  Pure
+    regexp_replace/extract_all on the scan — codegen, no Python, no
+    shuffle; patterns are RE2-safe so the DuckDB oracle runs them
+    verbatim (driver entry redact_pii; the synthetic corpus contains no
+    PII, so that row's VALUE check pins the no-match identity — planted
+    values are pytest-oracled, tests/test_pipeline.py)."""
+    out = docs.select("doc_id", F.col("text").alias("red"))
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(
+                F.regexp_extract_all(F.col("red"), F.lit(pat), F.lit(0))
+            ).cast("long"),
+        ).withColumn("red", F.regexp_replace("red", pat, repl))
+    return out.select(
+        "doc_id",
+        F.col("red").alias("text_redacted"),
+        *[F.col(f"n_{name}") for name, _, _ in PII_PATTERNS],
+    )

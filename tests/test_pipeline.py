@@ -563,3 +563,69 @@ def test_decontamination_plan_broadcasts_benchmark(decon_tables):
     plan = decon.decontaminated_corpus(pool, bench, n=4)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# ---------------------------------------------------------------------------
+# repetition quality signals (pipeline/text.py repetition_stats)
+
+
+def test_repetition_stats_planted(spark):
+    from joie_spark.pipeline import text as T
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),  # clean
+        (2, "spam spam spam spam spam spam"),                  # one token repeated
+        (3, "line one\nline two\nline one\nline three"),       # dup line
+        (4, "a b c d e a b c d e a b c d e"),                  # repeated 5-gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in T.repetition_stats(df).collect()}
+    # clean doc: zero everywhere
+    assert got[1]["dup_2gram_frac"] == 0.0 and got[1]["dup_5gram_frac"] == 0.0
+    assert got[1]["dup_line_frac"] == 0.0 and got[1]["n_lines"] == 1
+    # "spam" x6: 5 bigrams all identical -> 4/5 repeats
+    assert got[2]["dup_2gram_frac"] == 0.8
+    # 4 lines, "line one" twice -> 1/4
+    assert got[3]["n_lines"] == 4 and got[3]["dup_line_frac"] == 0.25
+    # abcde x3: 11 5-grams, 5 distinct -> 6/11
+    assert got[4]["dup_5gram_frac"] == round(6 / 11, 4)
+    assert got[4]["dup_5gram_frac"] > got[1]["dup_5gram_frac"]
+
+
+def test_repetition_stats_plan_is_map_side(spark):
+    from joie_spark.pipeline import text as T
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = T.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" not in plan  # no shuffle/explode
+
+
+def test_redact_pii_planted(spark):
+    from joie_spark.pipeline import text as T
+
+    rows = [
+        (1, "mail bob.smith+x@example.co.uk or call +1 (555) 123-4567"),
+        (2, "server at 192.168.001.1 port 80"),       # IP, NOT a phone
+        (3, "clean text with no identifiers"),
+        (4, "two mails a@b.io c@d.org one ip 10.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in T.redact_pii(df).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 1
+    assert got[1]["text_redacted"] == "mail <EMAIL> or call <PHONE>"
+    # ordering: the IP is consumed by the IP stage, never double-counted
+    # by the phone-shaped pattern
+    assert got[2]["n_ip"] == 1 and got[2]["n_phone"] == 0
+    assert got[2]["text_redacted"] == "server at <IP> port 80"
+    assert got[3]["text_redacted"] == rows[2][1]
+    assert (got[3]["n_email"], got[3]["n_ip"], got[3]["n_phone"]) == (0, 0, 0)
+    assert got[4]["n_email"] == 2 and got[4]["n_ip"] == 1  # replace-all
+    assert got[4]["text_redacted"] == "two mails <EMAIL> <EMAIL> one ip <IP>"
+
+
+def test_redact_pii_plan_is_map_side(spark):
+    from joie_spark.pipeline import text as T
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = T.redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
