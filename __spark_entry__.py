@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 import joie_spark.pipeline.ann as ann
+import joie_spark.pipeline.clean as clean
 import joie_spark.pipeline.decontaminate as decon
 import joie_spark.pipeline.sampling as sampling
 import joie_spark.pipeline.dedup as dedup
@@ -344,6 +345,23 @@ def q_simhash_pairs(spark, sf_dir):  # rows-only (pytest pigeonhole-recall
     return dedup.simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def q_clean_corpus(spark, sf_dir):
+    """The composed end-to-end cleaning pipeline (pipeline/clean.py
+    clean_corpus): quality gate (>=15 tokens) -> repetition gate
+    (dup-2-gram <= 0.08) -> benchmark decontamination (4-grams vs the
+    doc_id%41 eval slice) -> near-dup loser removal -> deterministic
+    train/val/test split — one scan, two broadcast anti-joins, zero
+    corpus shuffles.  Every stage is individually oracled elsewhere;
+    this entry value-checks their composition."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 41 == 0)
+    pool = docs.where(F.col("doc_id") % 41 != 0)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, sample_mod=5, threshold=0.5)
+    return clean.clean_corpus(pool, bench, pairs).select(
+        "doc_id", "source", "n_chars", "split"
+    )
+
+
 def q_redact_pii(spark, sf_dir):
     """PII scrubbing (pipeline/text.py redact_pii).  The synthetic
     corpus contains no PII, so this row's green value check pins the
@@ -631,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decon_corpus": q_decon_corpus,
         "repetition_stats": q_repetition_stats,
         "redact_pii": q_redact_pii,
+        "clean_corpus": q_clean_corpus,
         "split_assign": q_split_assign,
         "stratified_sample": q_stratified_sample,
         "leakage_safe_split": q_leakage_safe_split,
@@ -976,6 +995,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id % 41 != 0
               AND d.doc_id NOT IN (SELECT doc_id FROM bad)""",
         "redact_pii": _redact_pii_oracle(),
+        "clean_corpus": f"""
+            {_CLUSTER_CTE},
+            clusters AS (SELECT v AS doc_id, min(u) AS cluster_id
+                         FROM reach GROUP BY v),
+            losers AS (SELECT doc_id FROM clusters WHERE doc_id != cluster_id),
+            qa AS (SELECT doc_id, source, n_chars, tok,
+                     list_transform(generate_series(1, greatest(len(tok) - 1, 0)),
+                                    i -> array_to_string(tok[i:i+1], ' ')) AS g2
+                   FROM (SELECT doc_id, source, n_chars, {TOK_DD} AS tok
+                         FROM documents WHERE doc_id % 41 != 0)),
+            q AS (SELECT doc_id, source, n_chars FROM qa
+                  WHERE len(tok) >= 15
+                    AND round(CASE WHEN len(g2) > 0 THEN
+                          (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2)
+                          ELSE 0 END, 4) <= 0.08),
+            dsh AS (SELECT doc_id, list_distinct(
+                      list_transform(generate_series(1, greatest(len({TOK_DD}) - 3, 0)),
+                                     i -> array_to_string(({TOK_DD})[i:i+3], ' '))) AS s
+                    FROM documents),
+            dbench AS (SELECT DISTINCT unnest(s) AS g FROM dsh WHERE doc_id % 41 = 0),
+            dtr AS (SELECT doc_id, unnest(s) AS g FROM dsh WHERE doc_id % 41 != 0),
+            dbad AS (SELECT DISTINCT dtr.doc_id FROM dtr JOIN dbench USING (g)),
+            kept AS (SELECT * FROM q
+                     WHERE doc_id NOT IN (SELECT doc_id FROM dbad)
+                       AND doc_id NOT IN (SELECT doc_id FROM losers)),
+            uu AS (SELECT doc_id, source, n_chars,
+                ({_dd_hash64("doc_id::VARCHAR", "split")})::DOUBLE
+                  / 1152921504606846976.0 AS u
+              FROM kept)
+            SELECT doc_id, source, n_chars,
+                   CASE WHEN u < {0.90!r} THEN 'train'
+                        WHEN u < {0.90 + 0.05!r} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM uu""",
         "repetition_stats": f"""
             WITH base AS (SELECT doc_id, string_split(text, chr(10)) AS lines,
                                  {TOK_DD} AS tok

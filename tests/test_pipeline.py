@@ -629,3 +629,50 @@ def test_redact_pii_plan_is_map_side(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     plan = T.redact_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_clean_corpus_gates(spark):
+    """Composed pipeline (pipeline/clean.py): each planted pathology is
+    dropped by exactly its own gate; survivors get a split."""
+    from joie_spark.pipeline import clean
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india " \
+           "juliet kilo lima mike november oscar papa"          # 16 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, base),                                   # survivor
+            (2, "too short"),                            # < 15 tokens
+            (3, ("spam ham " * 10).strip()),             # dup-2gram ~1
+            (4, base + " quick brown fox jumps high"),   # contaminated
+            (5, base + " zulu"),                         # near-dup of 1 (loser)
+        ],
+        "doc_id long, text string",
+    ).withColumn("source", F.lit("s")).withColumn("n_chars", F.length("text"))
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high today")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 5)], "a long, b long")
+    got = {r["doc_id"]: r["split"] for r in
+           clean.clean_corpus(docs, bench, pairs).collect()}
+    assert set(got) == {1}
+    assert got[1] in ("train", "val", "test")
+    # without the planted pathologies nothing is dropped
+    got_all = clean.clean_corpus(
+        docs.where("doc_id = 1"), bench, pairs.where("a < 0")
+    ).count()
+    assert got_all == 1
+
+
+def test_clean_corpus_plan_shape(spark):
+    """Both removal stages lower to broadcast anti-joins; no cartesian."""
+    from joie_spark.pipeline import clean
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n o p")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "x y z w")], "doc_id long, text string")
+    pairs = spark.createDataFrame([], "a long, b long")
+    plan = clean.clean_corpus(docs, bench, pairs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("LeftAnti") >= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
