@@ -362,6 +362,21 @@ def q_clean_corpus(spark, sf_dir):
     )
 
 
+def q_clean_corpus_lsh(spark, sf_dir):
+    """clean_corpus on its SCALE-path pair source: banded MinHash-LSH +
+    exact-Jaccard verify instead of the sampled pairwise oracle join —
+    the configuration a 100 TB run uses (rows-only here: xxhash64; the
+    composition's values are oracled by clean_corpus, the pair source
+    by minhash_lsh_portable / the verify pytest)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 41 == 0)
+    pool = docs.where(F.col("doc_id") % 41 != 0)
+    pairs = dedup.minhash_lsh_verified(docs, threshold=0.7).select("a", "b")
+    return clean.clean_corpus(pool, bench, pairs).select(
+        "doc_id", "source", "n_chars", "split"
+    )
+
+
 def q_redact_pii(spark, sf_dir):
     """PII scrubbing (pipeline/text.py redact_pii).  The synthetic
     corpus contains no PII, so this row's green value check pins the
@@ -650,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "redact_pii": q_redact_pii,
         "clean_corpus": q_clean_corpus,
+        "clean_corpus_lsh": q_clean_corpus_lsh,
         "split_assign": q_split_assign,
         "stratified_sample": q_stratified_sample,
         "leakage_safe_split": q_leakage_safe_split,

@@ -38,6 +38,7 @@ HEADLINE = [
     "ann_lsh_bucketed",
     "quality_score",
     "decon_corpus",
+    "clean_corpus_lsh",
     "pricing_summary",
     "join_revenue_topk",
 ]
