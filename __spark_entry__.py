@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 import joie_spark.pipeline.ann as ann
 import joie_spark.pipeline.clean as clean
 import joie_spark.pipeline.decontaminate as decon
+import joie_spark.pipeline.packing as packing
 import joie_spark.pipeline.sampling as sampling
 import joie_spark.pipeline.dedup as dedup
 import joie_spark.pipeline.text as text
@@ -421,6 +422,44 @@ def q_mixture_sample(spark, sf_dir):
     ).select("doc_id", "source", "epoch")
 
 
+def q_top_ngram_share(spark, sf_dir):
+    """Gopher top-2-gram dominance share (pipeline/text.py
+    top_ngram_share): per-doc mode aggregation — explode + two
+    doc_id-keyed shuffles with map-side partial agg; count-based share
+    so top-count ties cannot make the value nondeterministic."""
+    return text.top_ngram_share(_docs(spark, sf_dir), n=2)
+
+
+def q_web_stats(spark, sf_dir):
+    """C4-style web-cleaning signals (pipeline/text.py web_stats):
+    URL density, bullet/ellipsis/terminal-punct line fractions,
+    boilerplate marker hits — one codegen pass on the scan, no shuffle.
+    The synthetic corpus contains no URLs/markers, so this row pins the
+    no-match identity; planted values are pytest-oracled
+    (tests/test_pipeline.py test_web_stats_planted)."""
+    return text.web_stats(_docs(spark, sf_dir))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing assignment (pipeline/packing.py
+    pack_sequences): exact global token prefix-sum via the two-phase
+    scan (range partition -> per-partition totals -> broadcast bases +
+    local window) — the only single-task window runs over #partitions
+    rows, so the op survives 10^8 docs where a bare
+    Window.orderBy(doc_id) would collapse to one core."""
+    out = packing.pack_sequences(_docs(spark, sf_dir), seq_len=256)
+    return out
+
+
+def q_pack_manifest(spark, sf_dir):
+    """Loader-facing packing manifest (pipeline/packing.py
+    pack_manifest): one row per (sequence, doc-slice), map-side explode
+    of the assignment — value-oracled end-to-end vs a DuckDB
+    generate_series unnest."""
+    a = packing.pack_sequences(_docs(spark, sf_dir), seq_len=256)
+    return packing.pack_manifest(a, seq_len=256)
+
+
 def q_leakage_safe_split(spark, sf_dir):
     """Leakage-safe split (pipeline/sampling.py cluster_safe_split):
     assignment hashes the duplicate-cluster representative so near-dup
@@ -670,6 +709,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "leakage_safe_split": q_leakage_safe_split,
         "mixture_sample": q_mixture_sample,
+        "top_ngram_share": q_top_ngram_share,
+        "web_stats": q_web_stats,
+        "pack_sequences": q_pack_sequences,
+        "pack_manifest": q_pack_manifest,
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_portable": q_minhash_lsh_portable,
         "minhash_lsh_verified": q_minhash_lsh_verified,
@@ -870,6 +913,44 @@ def _redact_pii_oracle() -> str:
         "WITH " + ",\n            ".join(ctes)
         + f"\n            SELECT doc_id, red AS text_redacted, {cols} FROM {prev}"
     )
+
+
+def _web_stats_oracle() -> str:
+    """DuckDB twin of text.web_stats, generated from the same
+    BOILERPLATE_MARKERS tuple (and the same URL pattern literal) so the
+    marker list / pattern cannot drift between engine and oracle."""
+    url_pat = "(https?://|www[.])[^ \t\r\n]+"
+    markers = " + ".join(
+        f"(length(lower(text)) - length(replace(lower(text), '{m}', '')))"
+        f" // {len(m)}"
+        for m in text.BOILERPLATE_MARKERS
+    )
+
+    def frac(pred: str) -> str:
+        return (
+            f"round(CASE WHEN len(lines) > 0 THEN"
+            f" len(list_filter(lines, l -> {pred}))::DOUBLE / len(lines)"
+            f" ELSE 0 END, 4)"
+        )
+
+    return f"""
+            WITH base AS (SELECT doc_id, text,
+                 regexp_extract_all(text, '{url_pat}') AS urls,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                                            l -> trim(l)),
+                             l -> l != '') AS lines
+              FROM documents)
+            SELECT doc_id,
+                   len(urls)::BIGINT AS n_urls,
+                   round(coalesce(list_sum(list_transform(urls,
+                           u -> length(u))), 0)::DOUBLE
+                         / greatest(length(text), 1), 4) AS url_char_frac,
+                   {frac("substr(l, 1, 1) IN ('-', '*')")} AS bullet_line_frac,
+                   {frac("l LIKE '%...'")} AS ellipsis_line_frac,
+                   {frac('''substr(l, length(l), 1) IN ('.', '!', '?', '"')''')}
+                     AS term_punct_line_frac,
+                   ({markers})::BIGINT AS n_boilerplate
+            FROM base"""
 
 
 def _simhash_pairs_portable_oracle() -> str:
@@ -1099,6 +1180,69 @@ def oracle_sql() -> dict[str, str]:
                      ELSE [0] END AS arr
               FROM u)
             SELECT doc_id, source, unnest(arr) AS epoch FROM c""",
+        "top_ngram_share": f"""
+            WITH tok AS (SELECT doc_id, {TOK_DD} AS tok FROM documents),
+            g AS (SELECT doc_id,
+                    unnest(list_transform(
+                      generate_series(1, greatest(len(tok) - 1, 0)),
+                      i -> array_to_string(tok[i:i+1], ' '))) AS gram
+                  FROM tok),
+            pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+            pd AS (SELECT doc_id, sum(c)::BIGINT AS n_grams,
+                          max(c)::BIGINT AS top_count
+                   FROM pg GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(n_grams, 0)::BIGINT AS n_grams,
+                   coalesce(top_count, 0)::BIGINT AS top_count,
+                   round(CASE WHEN coalesce(n_grams, 0) > 0
+                              THEN top_count::DOUBLE / n_grams
+                              ELSE 0 END, 4) AS top_share
+            FROM documents d LEFT JOIN pd USING (doc_id)""",
+        "web_stats": _web_stats_oracle(),
+        "pack_sequences": f"""
+            WITH c AS (SELECT doc_id,
+                         len(regexp_extract_all(text, '{_BPE}'))::BIGINT AS n_tokens
+                       FROM documents),
+            p AS (SELECT doc_id, n_tokens,
+                    coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0)::BIGINT AS start_off
+                  FROM c)
+            SELECT doc_id, n_tokens, start_off,
+                   CAST(CASE WHEN n_tokens > 0 THEN start_off // 256 END
+                        AS BIGINT) AS first_seq,
+                   CAST(CASE WHEN n_tokens > 0
+                             THEN (start_off + n_tokens - 1) // 256 END
+                        AS BIGINT) AS last_seq,
+                   coalesce(CASE WHEN n_tokens > 0
+                                 THEN (start_off + n_tokens - 1) // 256
+                                      - start_off // 256 + 1 END,
+                            0)::BIGINT AS n_seqs
+            FROM p""",
+        "pack_manifest": f"""
+            WITH c AS (SELECT doc_id,
+                         len(regexp_extract_all(text, '{_BPE}'))::BIGINT AS n_tokens
+                       FROM documents),
+            p AS (SELECT doc_id, n_tokens,
+                    coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0)::BIGINT AS start_off
+                  FROM c WHERE n_tokens >= 0),
+            a AS (SELECT doc_id, n_tokens, start_off,
+                    start_off // 256 AS first_seq,
+                    (start_off + n_tokens - 1) // 256 AS last_seq
+                  FROM p WHERE n_tokens > 0),
+            e AS (SELECT doc_id, n_tokens, start_off,
+                    unnest(generate_series(first_seq, last_seq)) AS seq_id
+                  FROM a)
+            SELECT seq_id::BIGINT AS seq_id, doc_id,
+                   (greatest(seq_id * 256, start_off) - start_off)::BIGINT
+                     AS doc_begin,
+                   (least((seq_id + 1) * 256, start_off + n_tokens)
+                     - start_off)::BIGINT AS doc_end,
+                   (greatest(seq_id * 256, start_off) - seq_id * 256)::BIGINT
+                     AS seq_begin
+            FROM e""",
         "leakage_safe_split": f"""
             {_CLUSTER_CTE},
             clusters AS (SELECT v AS doc_id, min(u) AS cluster_id

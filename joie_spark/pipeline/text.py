@@ -123,6 +123,133 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+def ngram_array(n: int, tokens_col: str = "tokens") -> Column:
+    """Token n-grams as space-joined strings (array column, codegen)."""
+    return F.expr(
+        f"CASE WHEN size({tokens_col}) < {n} THEN array()"
+        f" ELSE transform(sequence(0, size({tokens_col}) - {n}),"
+        f" i -> concat_ws(' ', slice({tokens_col}, i + 1, {n}))) END"
+    )
+
+
+def top_ngram_share(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Gopher's *top* n-gram family (Rae et al. 2021 §A1.1): the share of
+    a document's n-gram occurrences taken by its single most frequent
+    n-gram.  Complements `repetition_stats`'s dup fractions — the dup
+    fraction says "many grams repeat", the top share says "ONE gram
+    dominates" (a chorus, a nav bar, a spam token).
+
+    Needs a per-doc mode aggregation, so unlike `repetition_stats` it is
+    not map-side: explode grams -> groupBy(doc_id, gram) -> groupBy
+    (doc_id).  Both shuffles key on doc_id(+gram) — no hot keys beyond
+    document size, partial aggregation does the heavy lifting map-side,
+    and the final join back to the doc list reuses the doc_id
+    partitioning.  Docs with fewer than n tokens emit share 0.0 rather
+    than vanishing.  Share is count-based (top_count / n_grams): ties in
+    the top count do not affect it, so the value is deterministic
+    without a gram-name tiebreak."""
+    grams = with_tokens(docs).select(
+        "doc_id", F.explode(ngram_array(n)).alias("gram")
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.max("c").cast("long").alias("top_count"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("top_count", F.lit(0)).cast("long").alias("top_count"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.col("top_count").cast("double") / F.col("n_grams"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("top_share"),
+        )
+    )
+
+
+# C4-style boilerplate marker phrases (Raffel et al. 2020 §2.2: pages
+# with these are navigation chrome / legal shells, not prose).  Matched
+# as plain substrings of lower(text) — no regex needed, so Spark and the
+# DuckDB oracle share exact semantics via contains/instr.
+BOILERPLATE_MARKERS = (
+    "lorem ipsum",
+    "javascript",
+    "cookie",
+    "privacy policy",
+    "terms of use",
+)
+
+
+def web_stats(docs: DataFrame) -> DataFrame:
+    """C4-flavoured web-cleaning signals, one map-side pass:
+
+      n_urls / url_char_frac      http(s)://... and www.... runs,
+      bullet_line_frac            lines starting with '-' or '*',
+      ellipsis_line_frac          lines ending with '...',
+      term_punct_line_frac        lines ending with . ! ? or '"'
+                                  (C4 keeps only such lines),
+      n_boilerplate               total hits of BOILERPLATE_MARKERS.
+
+    Line fractions are over NON-EMPTY lines (whitespace-only lines are
+    chrome, not content); 0.0 when a doc has none.  Everything is
+    regexp/array arithmetic inside the scan's codegen stage — no
+    explode, no shuffle, free at 100 TB.  The URL pattern avoids
+    backslash classes ([^ \\t\\n] spelled as a negated literal class) so
+    the identical literal runs in Java regex and DuckDB's RE2 (driver
+    entry web_stats)."""
+    url_pat = "(https?://|www[.])[^ \t\r\n]+"
+    urls = F.regexp_extract_all(F.col("text"), F.lit(url_pat), F.lit(0))
+    url_chars = F.expr(
+        "aggregate(transform(_urls, u -> length(u)), 0L, (a, x) -> a + x)"
+    )
+    lines = F.expr("filter(transform(split(text, '\n'), l -> trim(l)), l -> l != '')")
+
+    def _frac(pred_sql: str) -> Column:
+        return F.round(
+            F.when(
+                F.size("_lines") > 0,
+                F.size(F.expr(f"filter(_lines, l -> {pred_sql})")).cast("double")
+                / F.size("_lines").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        )
+
+    marker_hits = None
+    for m in BOILERPLATE_MARKERS:
+        hit = (
+            F.length(F.lower("text"))
+            - F.length(F.regexp_replace(F.lower("text"), F.lit(m), F.lit("")))
+        ) / F.lit(len(m))
+        marker_hits = hit if marker_hits is None else marker_hits + hit
+
+    return (
+        docs.withColumn("_urls", urls)
+        .withColumn("_lines", lines)
+        .select(
+            "doc_id",
+            F.size("_urls").cast("long").alias("n_urls"),
+            F.round(
+                url_chars.cast("double")
+                / F.greatest(F.length("text").cast("double"), F.lit(1.0)),
+                4,
+            ).alias("url_char_frac"),
+            _frac("substring(l, 1, 1) IN ('-', '*')").alias("bullet_line_frac"),
+            _frac("l LIKE '%...'").alias("ellipsis_line_frac"),
+            _frac("substring(l, length(l), 1) IN ('.', '!', '?', '\"')").alias(
+                "term_punct_line_frac"
+            ),
+            marker_hits.cast("long").alias("n_boilerplate"),
+        )
+    )
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Gopher-style intra-document repetition signals (Rae et al. 2021
     §A1.1: documents dominated by repeated lines/n-grams are boilerplate
@@ -138,8 +265,8 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     no explode, no shuffle; identical list expressions run in the DuckDB
     oracle (driver entry repetition_stats).  The per-doc *top* n-gram
     share (Gopher's other family) needs a per-doc mode aggregation
-    (explode + count) — deliberately omitted from this map-side
-    operator; the dup fractions catch the same pathological docs."""
+    (explode + count) — that lives in `top_ngram_share`; the dup
+    fractions here catch the same pathological docs map-side."""
 
     def _dup_frac(arr) -> Column:
         n = F.size(arr).cast("double")
@@ -148,21 +275,14 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0)), 4
         )
 
-    def _grams(n: int) -> Column:
-        return F.expr(
-            f"CASE WHEN size(tokens) < {n} THEN array()"
-            f" ELSE transform(sequence(0, size(tokens) - {n}),"
-            f" i -> concat_ws(' ', slice(tokens, i + 1, {n}))) END"
-        )
-
     d = with_tokens(docs)
     lines = F.split(F.col("text"), "\n")
     return d.select(
         "doc_id",
         F.size(lines).cast("long").alias("n_lines"),
         _dup_frac(lines).alias("dup_line_frac"),
-        _dup_frac(_grams(2)).alias("dup_2gram_frac"),
-        _dup_frac(_grams(5)).alias("dup_5gram_frac"),
+        _dup_frac(ngram_array(2)).alias("dup_2gram_frac"),
+        _dup_frac(ngram_array(5)).alias("dup_5gram_frac"),
     )
 
 

@@ -676,3 +676,124 @@ def test_clean_corpus_plan_shape(spark):
         .executedPlan().toString()
     assert plan.count("LeftAnti") >= 2
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_top_ngram_share_planted(spark):
+    from joie_spark.pipeline import text as T
+
+    rows = [
+        (1, "go go go go stop"),     # grams: 3x"go go", 1x"go stop" -> 3/4
+        (2, "a b c d"),              # all distinct -> 1/3
+        (3, "x"),                    # < n tokens -> zero row, kept
+        (4, ""),                     # empty -> zero row, kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in T.top_ngram_share(df, n=2).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert (got[1]["n_grams"], got[1]["top_count"], got[1]["top_share"]) == (4, 3, 0.75)
+    assert (got[2]["n_grams"], got[2]["top_count"], got[2]["top_share"]) == (3, 1, 0.3333)
+    for d in (3, 4):
+        assert (got[d]["n_grams"], got[d]["top_count"], got[d]["top_share"]) == (0, 0, 0.0)
+
+
+def test_web_stats_planted(spark):
+    from joie_spark.pipeline import text as T
+
+    rows = [
+        (1, "Visit https://ex.com/a now\n- item one\n- item two\nRead more...\nDone."),
+        (2, "no urls. Just Prose!\n\n  \nwww.foo.bar/x cookie cookie privacy policy"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in T.web_stats(df).collect()}
+    r1 = got[1]
+    assert r1["n_urls"] == 1
+    # 5 non-empty lines: 2 bullets, 1 ellipsis, 2 terminal-punct
+    # ("Read more..." ends in '.', "Done." ends in '.')
+    assert r1["bullet_line_frac"] == 0.4
+    assert r1["ellipsis_line_frac"] == 0.2
+    assert r1["term_punct_line_frac"] == 0.4
+    assert r1["n_boilerplate"] == 0
+    r2 = got[2]
+    assert r2["n_urls"] == 1                      # www. form
+    assert r2["n_boilerplate"] == 3               # cookie x2 + privacy policy
+    # whitespace-only line is NOT counted: 2 non-empty lines, 1 ends '!'
+    assert r2["term_punct_line_frac"] == 0.5
+    r3 = got[3]
+    assert r3["n_urls"] == 0 and r3["url_char_frac"] == 0.0
+    assert r3["bullet_line_frac"] == 0.0
+
+
+def test_web_stats_plan_is_map_side(spark):
+    from joie_spark.pipeline import text as T
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = T.web_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_pack_sequences_exact_cumsum(spark):
+    """Assignment equals a single-threaded pandas reference regardless of
+    input partitioning (the two-phase prefix sum is exact, not approx)."""
+    from joie_spark.pipeline import packing
+
+    rows = [(i, "tok " * (i % 7)) for i in range(1, 101)]     # some empty
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(13)
+    out = packing.pack_sequences(df, seq_len=10).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # pandas reference
+    import pandas as pd
+    ref = pd.DataFrame({"doc_id": [r[0] for r in rows],
+                        "n_tokens": [2 * (r[0] % 7) if r[0] % 7 else 0
+                                     for r in rows]})
+    # BPE pretokenizer: "tok " * k -> k word tokens + k-1? verify against op
+    got_counts = dict(zip(out.doc_id, out.n_tokens))
+    ref["n_tokens"] = [got_counts[d] for d in ref.doc_id]   # trust counts, pin cumsum
+    ref["start_off"] = ref.n_tokens.cumsum().shift(fill_value=0)
+    assert (out.start_off.values == ref.start_off.values).all()
+    nz = out[out.n_tokens > 0]
+    assert (nz.first_seq == nz.start_off // 10).all()
+    assert (nz.last_seq == (nz.start_off + nz.n_tokens - 1) // 10).all()
+    z = out[out.n_tokens == 0]
+    assert z.first_seq.isnull().all() and (z.n_seqs == 0).all()
+    out2 = packing.pack_sequences(df.repartition(1), seq_len=10).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (out2.start_off.values == out.start_off.values).all()
+
+
+def test_pack_manifest_reconstructs(spark):
+    """Manifest invariants: every sequence except the last is exactly
+    seq_len tokens; per-doc slices are contiguous and cover the doc."""
+    from joie_spark.pipeline import packing
+
+    rows = [(i, "w " * (3 * i % 11)) for i in range(1, 60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = packing.pack_sequences(df, seq_len=16)
+    m = packing.pack_manifest(a, seq_len=16).toPandas()
+    assert ((m.doc_end - m.doc_begin) > 0).all()
+    fill = m.groupby("seq_id").apply(
+        lambda s: (s.doc_end - s.doc_begin).sum(), include_groups=False
+    ).sort_index()
+    assert (fill.index == range(len(fill))).all()          # contiguous seqs
+    assert (fill.iloc[:-1] == 16).all() and fill.iloc[-1] <= 16
+    # per-doc slices tile [0, n_tokens)
+    ap = a.toPandas().set_index("doc_id")
+    for d, grp in m.sort_values(["doc_id", "doc_begin"]).groupby("doc_id"):
+        assert grp.doc_begin.iloc[0] == 0
+        assert grp.doc_end.iloc[-1] == ap.loc[d, "n_tokens"]
+        assert (grp.doc_begin.values[1:] == grp.doc_end.values[:-1]).all()
+    # slice lands where the sequence expects it
+    assert ((m.seq_begin + (m.doc_end - m.doc_begin)) <= 16).all()
+    a._joie_persisted.unpersist()
+
+
+def test_pack_sequences_windows_are_partitioned(spark):
+    """Scale shape: the per-row running sum windows on _pid (parallel),
+    never a global single-partition window over the corpus."""
+    from joie_spark.pipeline import packing
+
+    df = spark.createDataFrame([(1, "a b"), (2, "c")], "doc_id long, text string")
+    out = packing.pack_sequences(df, seq_len=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_pid" in plan
+    out._joie_persisted.unpersist()
