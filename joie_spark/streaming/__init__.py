@@ -1,5 +1,8 @@
 from .ingest import (  # noqa: F401
     append_stream,
+    dedup_stream,
+    dedup_stream_against,
     sessionize_stream,
     stream_turn_stats,
+    with_fingerprint,
 )

@@ -31,6 +31,14 @@ Three pieces:
                        (late turns beyond the watermark are dropped) —
                        the monitoring side-channel a firehose deployment
                        runs next to the ingest.
+  dedup_stream         streaming exact dedup: content fingerprints keyed
+                       into the streaming state store (dropDuplicates) —
+                       duplicates are dropped ACROSS micro-batches and
+                       restarts; bounded-state variant via
+                       dropDuplicatesWithinWatermark.
+  dedup_stream_against stream-static anti-join: drop incoming docs whose
+                       fingerprint already exists in a static seen-set
+                       (the already-indexed corpus).
 """
 
 from __future__ import annotations
@@ -199,6 +207,69 @@ def sessionize_stream(
         stateStructType=_SESSION_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", fp_col: str = "fp") -> DataFrame:
+    """Canonicalization-stable content fingerprint — the same normalized
+    token-stream md5 as pipeline/text.py fingerprint, usable on batch or
+    streaming frames (pure codegen, no state)."""
+    from ..pipeline.text import sql_tokens
+
+    return df.withColumn(fp_col, F.md5(F.concat_ws(" ", sql_tokens(text_col))))
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    fp_col: str = "fp",
+    watermark: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Streaming exact deduplication across micro-batches.
+
+    Fingerprints the text (normalized-token md5) and keys it into
+    Spark's streaming deduplication state (`dropDuplicates`): the first
+    arrival of a fingerprint passes, every later arrival — in the same
+    micro-batch, a later batch, or after a restart (state lives in the
+    checkpoint, RocksDB-backed on a cluster) — is dropped.  This is the
+    streaming twin of pipeline/dedup.py exact_duplicates: the SET of
+    surviving fingerprints equals the batch operator's on the same data
+    (tested, tests/test_streaming.py); WHICH copy survives is
+    arrival-order-defined, the standard streaming semantics.
+
+    Without `watermark` the seen-set grows with the distinct corpus —
+    exact forever-dedup, state ~ fingerprint count (the honest cost of
+    the guarantee; the state store shards it across executors).  Pass
+    `watermark=(ts_col, "24 hours")` to bound state via
+    dropDuplicatesWithinWatermark: duplicates are only suppressed within
+    the event-time horizon, the right trade for firehose sources whose
+    duplicates are near-in-time (retries, re-sends)."""
+    d = with_fingerprint(stream_df, text_col, fp_col)
+    if watermark is not None:
+        ts_col, horizon = watermark
+        return d.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(
+            [fp_col]
+        )
+    return d.dropDuplicates([fp_col])
+
+
+def dedup_stream_against(
+    stream_df: DataFrame,
+    seen_fps: DataFrame,
+    text_col: str = "text",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Drop incoming docs already present in a STATIC seen-set (e.g. the
+    fingerprints of the indexed corpus) — a stream-static left-anti
+    equi-join, the supported Structured Streaming shape: the static side
+    is re-resolved per micro-batch, so compacting/extending the seen
+    table takes effect on the next batch without restarting the query.
+    Compose with dedup_stream for within-stream dups; at scale store
+    `seen_fps` sorted/bucketed by fingerprint so the per-batch join
+    prunes row groups instead of scanning the full set."""
+    seen = seen_fps.select(F.col(fp_col)).distinct()
+    return with_fingerprint(stream_df, text_col, fp_col).join(
+        seen, fp_col, "left_anti"
     )
 
 

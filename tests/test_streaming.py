@@ -210,3 +210,124 @@ def test_append_stream_records_batch_idempotency_keys(spark, t1_rows, tmp_path):
     assert begins and all(
         str(e.get("key", "")).startswith("stream-batch=") for e in begins
     )
+
+
+DOC_FIELDS = "doc_id long, text string, ts timestamp"
+
+
+def _write_docs(spark, src, rows):
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1)
+    data = [
+        (i, txt, t0 + datetime.timedelta(minutes=m)) for i, txt, m in rows
+    ]
+    spark.createDataFrame(data, DOC_FIELDS).write.mode("append").parquet(src)
+
+
+def test_dedup_stream_across_batches(spark, tmp_path):
+    """Surviving-fingerprint set equals batch exact-dedup on the union;
+    dedup state survives BETWEEN availableNow drains via the checkpoint
+    (a wave-2 copy of a wave-1 doc is dropped)."""
+    from joie_spark.streaming import dedup_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    wave1 = [(1, "alpha bravo charlie", 0),
+             (2, "delta echo", 1),
+             (3, "alpha bravo charlie", 2)]        # in-batch dup of 1
+    wave2 = [(4, "Alpha  Bravo, charlie!", 3),     # normalizes == doc 1
+             (5, "foxtrot golf", 4),
+             (6, "delta echo", 5)]                 # cross-batch dup of 2
+
+    def drain():
+        stream = spark.readStream.schema(DOC_FIELDS).parquet(src)
+        q = (
+            dedup_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    _write_docs(spark, src, wave1)
+    drain()
+    _write_docs(spark, src, wave2)
+    drain()
+
+    got = spark.read.parquet(out).collect()
+    fps = [r["fp"] for r in got]
+    assert len(fps) == len(set(fps))               # no dup fp survives
+    # set of surviving fps == batch dedup on the union
+    from joie_spark.streaming import with_fingerprint
+
+    all_rows = spark.createDataFrame(
+        [(i, t, None) for i, t, _ in wave1 + wave2], DOC_FIELDS
+    )
+    want = {r["fp"] for r in with_fingerprint(all_rows).select("fp").distinct().collect()}
+    assert set(fps) == want and len(fps) == 3      # {alpha.., delta.., foxtrot..}
+    # wave-1 survivors are wave-1 docs (state crossed the restart)
+    by_fp = {r["fp"]: r["doc_id"] for r in got}
+    one = with_fingerprint(all_rows).where("doc_id = 1").collect()[0]["fp"]
+    two = with_fingerprint(all_rows).where("doc_id = 2").collect()[0]["fp"]
+    assert by_fp[one] in (1, 3) and by_fp[two] == 2
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """Bounded-state variant runs end-to-end and suppresses the
+    in-horizon duplicate."""
+    from joie_spark.streaming import dedup_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_docs(spark, src, [(1, "same text", 0), (2, "same text", 1),
+                             (3, "other text", 2)])
+    stream = spark.readStream.schema(DOC_FIELDS).parquet(src)
+    q = (
+        dedup_stream(stream, watermark=("ts", "10 minutes"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    assert sorted(r["doc_id"] for r in got) == [1, 3]
+
+
+def test_dedup_stream_against_static_seen(spark, tmp_path):
+    """Stream-static anti-join: docs whose fingerprint is in the static
+    seen-set never reach the sink; new docs pass."""
+    from joie_spark.streaming import dedup_stream_against, with_fingerprint
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    corpus = spark.createDataFrame(
+        [(100, "already indexed doc", None)], DOC_FIELDS
+    )
+    seen = with_fingerprint(corpus).select("fp")
+    _write_docs(spark, src, [(1, "Already   indexed doc!", 0),   # dup of 100
+                             (2, "genuinely new doc", 1)])
+    stream = spark.readStream.schema(DOC_FIELDS).parquet(src)
+    q = (
+        dedup_stream_against(stream, seen)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    assert [r["doc_id"] for r in got] == [2]
