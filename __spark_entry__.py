@@ -460,6 +460,23 @@ def q_pack_manifest(spark, sf_dir):
     return packing.pack_manifest(a, seq_len=256)
 
 
+def q_select_by_budget(spark, sf_dir):
+    """Token-budget corpus selection (pipeline/sampling.py
+    select_by_budget): best-score-first greedy under a global 10k-token
+    budget — exact global prefix sum over (score DESC, doc_id) via
+    packing.global_cumsum's two-phase scan."""
+    return sampling.select_by_budget(
+        _docs(spark, sf_dir), budget_tokens=10_000, score_col="n_chars"
+    )
+
+
+def q_corpus_summary(spark, sf_dir):
+    """Corpus-card rollup (pipeline/text.py corpus_summary): per
+    (source, lang) doc/token counts + length bounds — one small-key
+    groupBy with partial agg, token counting inline on the scan."""
+    return text.corpus_summary(_docs(spark, sf_dir))
+
+
 def q_leakage_safe_split(spark, sf_dir):
     """Leakage-safe split (pipeline/sampling.py cluster_safe_split):
     assignment hashes the duplicate-cluster representative so near-dup
@@ -713,6 +730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_stats": q_web_stats,
         "pack_sequences": q_pack_sequences,
         "pack_manifest": q_pack_manifest,
+        "select_by_budget": q_select_by_budget,
+        "corpus_summary": q_corpus_summary,
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_portable": q_minhash_lsh_portable,
         "minhash_lsh_verified": q_minhash_lsh_verified,
@@ -1243,6 +1262,28 @@ def oracle_sql() -> dict[str, str]:
                    (greatest(seq_id * 256, start_off) - seq_id * 256)::BIGINT
                      AS seq_begin
             FROM e""",
+        "select_by_budget": f"""
+            WITH c AS (SELECT doc_id, n_chars AS score,
+                         len(regexp_extract_all(text, '{_BPE}'))::BIGINT AS n_tokens
+                       FROM documents),
+            p AS (SELECT doc_id, score, n_tokens,
+                    coalesce(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0)::BIGINT AS tokens_before
+                  FROM c)
+            SELECT doc_id, score, n_tokens, tokens_before
+            FROM p WHERE tokens_before < 10000""",
+        "corpus_summary": f"""
+            WITH c AS (SELECT source, lang,
+                         len(regexp_extract_all(text, '{_BPE}'))::BIGINT AS nt
+                       FROM documents)
+            SELECT source, lang,
+                   count(*)::BIGINT AS n_docs,
+                   sum(nt)::BIGINT AS n_tokens,
+                   round(avg(nt), 4) AS mean_tokens,
+                   min(nt)::BIGINT AS min_tokens,
+                   max(nt)::BIGINT AS max_tokens
+            FROM c GROUP BY source, lang""",
         "leakage_safe_split": f"""
             {_CLUSTER_CTE},
             clusters AS (SELECT v AS doc_id, min(u) AS cluster_id

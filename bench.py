@@ -37,6 +37,8 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "quality_score",
+    "top_ngram_share",
+    "pack_sequences",
     "decon_corpus",
     "clean_corpus_lsh",
     "pricing_summary",
@@ -106,6 +108,11 @@ def main() -> None:
             df = qmap[name](spark, SF_DIR)
             run_query(df) if name not in ("bm25_topk",) else df.collect()
             spreads.setdefault(name, []).append(round(time.time() - t0, 3))
+            # operators that persist an intermediate (pack_sequences'
+            # pid-stamped counts, dedup's shingle cache) expose a release
+            # handle — free it so reps don't accumulate cached frames
+            if getattr(df, "_joie_persisted", None) is not None:
+                df._joie_persisted.unpersist()
     for name in HEADLINE:
         timings[name] = min(spreads[name])
 

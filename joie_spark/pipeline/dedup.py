@@ -387,39 +387,55 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     diameter) rounds; near-dup components are shallow (diameter ≤ ~4), so
     max_iter=10 is generous.  Lineage is cut per round (localCheckpoint)
     so plans don't snowball; rounds stop early at fixpoint (the `changed`
-    count is a tiny 1-row-per-partition action)."""
+    count is a tiny 1-row-per-partition action).
+
+    The pair source is consumed ONCE into a persisted symmetric edge
+    list before iterating: every round joins the edges, and an
+    unpersisted edge frame would re-execute the whole upstream pair
+    PIPELINE (banded LSH + exact verify — a full corpus scan) once per
+    round — measured as the dominant cost of the composed cleaning
+    pipeline at sf0.1, and O(rounds) corpus scans at 100 TB.  Edges are
+    near-dup-count-sized (far smaller than the corpus), so persisting
+    them is cheap; the cache is released before returning (the result's
+    lineage is cut by the final localCheckpoint)."""
     edges = pairs.select("a", "b")
-    sym = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).toDF("src", "dst")
-    labels = (
-        edges.select(F.col("a").alias("v"))
-        .unionByName(edges.select(F.col("b").alias("v")))
-        .distinct()
-        .withColumn("lbl", F.col("v"))
-        .localCheckpoint(eager=True)
-    )
-    changed = 1
-    for _ in range(max_iter):
-        msgs = sym.join(labels, sym.src == labels.v).select(
-            F.col("dst").alias("v"), F.col("lbl").alias("lbl")
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        new = (
-            labels.select("v", "lbl")
-            .unionByName(msgs)
-            .groupBy("v")
-            .agg(F.min("lbl").alias("lbl"))
+        .toDF("src", "dst")
+        .persist()
+    )
+    try:
+        labels = (
+            sym.select(F.col("src").alias("v"))
+            .distinct()
+            .withColumn("lbl", F.col("v"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.join(labels.withColumnRenamed("lbl", "old"), "v")
-            .where(F.col("lbl") < F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
+        changed = 1
+        for _ in range(max_iter):
+            msgs = sym.join(labels, sym.src == labels.v).select(
+                F.col("dst").alias("v"), F.col("lbl").alias("lbl")
+            )
+            new = (
+                labels.select("v", "lbl")
+                .unionByName(msgs)
+                .groupBy("v")
+                .agg(F.min("lbl").alias("lbl"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new.join(labels.withColumnRenamed("lbl", "old"), "v")
+                .where(F.col("lbl") < F.col("old"))
+                .limit(1)
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
     if changed != 0:
         # a component with diameter > max_iter would otherwise be SILENTLY
         # split into several clusters (ADVICE r2) — that is a wrong answer,

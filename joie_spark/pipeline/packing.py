@@ -54,6 +54,55 @@ def _default_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def global_cumsum(
+    df: DataFrame,
+    value_col: str,
+    order_cols,
+    out_col: str = "cum_before",
+) -> DataFrame:
+    """EXCLUSIVE global running sum of `value_col` over `order_cols`
+    ordering, scale-safely (the two-phase scan from the module
+    docstring).  `order_cols` may be names or Column expressions
+    (e.g. [F.desc("score"), "doc_id"]) — they must define a TOTAL order
+    for the result to be deterministic.
+
+    Output keeps all input columns plus `out_col` and the internal
+    `_pid`; the pid-stamped intermediate is persisted (see module
+    docstring) and exposed on the result as `_joie_persisted` for
+    deterministic release."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    stamped = (
+        df.repartitionByRange(par, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    w_pid = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        stamped.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_tot"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_tot").over(w_pid), F.lit(0)).alias("_base"),
+        )
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        stamped.join(F.broadcast(bases), "_pid")
+        .withColumn(
+            out_col,
+            (F.col("_base") + F.coalesce(F.sum(value_col).over(w_local), F.lit(0)))
+            .cast("long"),
+        )
+        .drop("_base")
+    )
+    out._joie_persisted = stamped  # release handle (freed on GC otherwise)
+    return out
+
+
 def pack_sequences(
     docs: DataFrame,
     seq_len: int = 2048,
@@ -77,40 +126,9 @@ def pack_sequences(
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     counts = count_fn(docs).select(order_col, F.col("n_tokens").cast("long"))
-
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    stamped = (
-        counts.repartitionByRange(par, order_col)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-
-    # Exclusive prefix of per-pid totals: #partitions rows — the ONLY
-    # single-task window, bounded by cluster width, not corpus size.
-    w_pid = (
-        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bases = (
-        stamped.groupBy("_pid")
-        .agg(F.sum("n_tokens").alias("_tot"))
-        .select(
-            "_pid",
-            F.coalesce(F.sum("_tot").over(w_pid), F.lit(0)).alias("_base"),
-        )
-    )
-
-    w_local = (
-        Window.partitionBy("_pid")
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    start = F.col("_base") + F.coalesce(
-        F.sum("n_tokens").over(w_local), F.lit(0)
-    )
+    cum = global_cumsum(counts, "n_tokens", [order_col], out_col="start_off")
     out = (
-        stamped.join(F.broadcast(bases), "_pid")
-        .withColumn("start_off", start)
-        .select(
+        cum.select(
             order_col,
             "n_tokens",
             F.col("start_off").cast("long"),
@@ -132,7 +150,7 @@ def pack_sequences(
             .alias("n_seqs"),
         )
     )
-    out._joie_persisted = stamped  # release handle (freed on GC otherwise)
+    out._joie_persisted = cum._joie_persisted  # release handle
     return out
 
 

@@ -165,6 +165,50 @@ def mixture_sample(
     return docs.withColumn("epoch", F.explode(arr))
 
 
+def select_by_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    score_col: str = "n_chars",
+    count_fn=None,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Greedy best-score-first corpus selection under a GLOBAL token
+    budget — "give me the highest-quality ~50B tokens", the selection
+    step every budgeted pretraining run makes after scoring.
+
+    Docs are ranked by (`score_col` DESC, `key` ASC — the key breaks
+    score ties, so the kept set is deterministic) and kept while the
+    running token total before the doc is under `budget_tokens`; the doc
+    that crosses the boundary is included (take-until semantics), so the
+    selection overshoots by at most one document.
+
+    The ranking needs an exact global prefix sum — same scale problem as
+    sequence packing, same solution: packing.global_cumsum's two-phase
+    scan (per-partition windows stay parallel; only the
+    partition-totals prefix is single-task).  Output: key, score,
+    n_tokens, tokens_before.  Release the persisted intermediate via
+    `result._joie_persisted.unpersist()`."""
+    from .packing import _default_counts, global_cumsum
+
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    counts = (count_fn or _default_counts)(docs).select(
+        key, F.col("n_tokens").cast("long")
+    )
+    scored = docs.select(key, F.col(score_col).alias("score")).join(counts, key)
+    cum = global_cumsum(
+        scored,
+        "n_tokens",
+        [F.col("score").desc(), F.col(key).asc()],
+        out_col="tokens_before",
+    )
+    out = cum.where(F.col("tokens_before") < budget_tokens).select(
+        key, "score", "n_tokens", "tokens_before"
+    )
+    out._joie_persisted = cum._joie_persisted
+    return out
+
+
 def stratified_sample(
     docs: DataFrame,
     fraction: float,

@@ -286,6 +286,27 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def corpus_summary(docs: DataFrame, by=("source", "lang")) -> DataFrame:
+    """Corpus-card rollup: per group (default source x lang) document
+    and token counts plus doc-length distribution bounds — the summary
+    table a dataset release publishes.  One groupBy shuffle on the
+    (small-cardinality) group keys with map-side partial aggregation;
+    token counting runs inline on the scan (BPE-ish pretokenizer, same
+    literal as bpe_token_count), so no join against a counts table."""
+    toks = F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")
+    d = docs.withColumn("_nt", F.size(toks).cast("long"))
+    return (
+        d.groupBy(*by)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            F.round(F.avg("_nt"), 4).alias("mean_tokens"),
+            F.min("_nt").cast("long").alias("min_tokens"),
+            F.max("_nt").cast("long").alias("max_tokens"),
+        )
+    )
+
+
 # PII redaction patterns — deliberately RE2-compatible (no lookarounds,
 # no backrefs) so the SAME pattern strings run in Java regex (Spark) and
 # RE2 (DuckDB oracle).  Order matters and is fixed: emails first (their

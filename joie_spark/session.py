@@ -54,6 +54,21 @@ def get_spark(
             os.environ.get("JOIE_DRIVER_MEM", f"{max(8, cpus * 2)}g"),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate synthesizes `size(arr) > 0` below every
+        # explode; predicate pushdown then inlines the generator's FULL
+        # expression tree (tokenize + shingle building here) into that
+        # filter and pushes it below exchanges — re-running the expensive
+        # array construction per row in the PRE-shuffle stage, which for a
+        # freshly-read small table is far less parallel than the stage the
+        # explode runs in.  The pipeline operators explode computed arrays
+        # everywhere (shingles, n-grams, tokens), and the inferred filter's
+        # only benefit (dropping empty-array rows before the shuffle) is
+        # noise for text corpora.  Measured on contamination_hits at sf0.1
+        # local[32]: 6.5s -> 0.75s min-of-4 interleaved.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.ui.enabled", "false")
     )
     if local_dir:

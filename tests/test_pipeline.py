@@ -797,3 +797,43 @@ def test_pack_sequences_windows_are_partitioned(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(_pid" in plan
     out._joie_persisted.unpersist()
+
+
+def test_select_by_budget_greedy(spark):
+    """Best-score-first, take-until semantics: the kept set is the
+    highest-scoring prefix whose pre-doc running total is under budget;
+    score ties break by doc_id deterministically."""
+    from joie_spark.pipeline import sampling
+
+    # (doc_id, text, score): BPE-ish counts = word count here (space
+    # attaches to the following word, GPT-2 style): 5, 3, 4, 2 tokens
+    rows = [(1, "a b c d e", 10), (2, "f g h", 30),
+            (3, "i j k l", 30), (4, "m n", 5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    # rank: 2 (score 30, lower id), 3 (score 30), 1 (10), 4 (5);
+    # budget 6: doc 2 before=0, doc 3 before=3 straddles (3+4 > 6) ->
+    # included; doc 1 before=7 starts past the budget -> out
+    out = sampling.select_by_budget(df, budget_tokens=6, score_col="n_chars")
+    got = {r["doc_id"]: r for r in out.collect()}
+    out._joie_persisted.unpersist()
+    assert got[2]["tokens_before"] == 0 and got[2]["n_tokens"] == 3
+    assert got[3]["tokens_before"] == 3 and got[3]["n_tokens"] == 4
+    assert set(got) == {2, 3}
+    # larger budget takes the next-ranked doc
+    out2 = sampling.select_by_budget(df, budget_tokens=10_000, score_col="n_chars")
+    assert {r["doc_id"] for r in out2.collect()} == {1, 2, 3, 4}
+    out2._joie_persisted.unpersist()
+
+
+def test_corpus_summary_planted(spark):
+    from joie_spark.pipeline import text as T
+
+    rows = [(1, "a b", "s1", "en"), (2, "c d e", "s1", "en"),
+            (3, "f", "s2", "de")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
+    got = {(r["source"], r["lang"]): r for r in T.corpus_summary(df).collect()}
+    s1 = got[("s1", "en")]
+    assert s1["n_docs"] == 2
+    assert s1["n_tokens"] == s1["min_tokens"] + s1["max_tokens"]
+    assert s1["mean_tokens"] == round(s1["n_tokens"] / 2, 4)
+    assert got[("s2", "de")]["n_docs"] == 1
