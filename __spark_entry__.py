@@ -460,6 +460,24 @@ def q_pack_manifest(spark, sf_dir):
     return packing.pack_manifest(a, seq_len=256)
 
 
+def q_substring_spans(spark, sf_dir):
+    """Exact-substring dedup spans (pipeline/dedup.py
+    repeated_substring_spans): Lee-et-al windowed form — repeated
+    5-token windows, keep the globally-first occurrence, merge
+    overlapping removals into maximal [start_tok, end_tok) spans.
+    (w=5 here: the synthetic corpus's docs are short; the API default
+    is the paper's 50.)"""
+    out = dedup.repeated_substring_spans(_docs(spark, sf_dir), w=5)
+    return out
+
+
+def q_substring_dedup_corpus(spark, sf_dir):
+    """Materialized substring-deduped corpus (pipeline/dedup.py
+    dedup_substrings): every doc with its repeated spans cut and token
+    sequence re-joined; n_removed counts cut tokens."""
+    return dedup.dedup_substrings(_docs(spark, sf_dir), w=5)
+
+
 def q_select_by_budget(spark, sf_dir):
     """Token-budget corpus selection (pipeline/sampling.py
     select_by_budget): best-score-first greedy under a global 10k-token
@@ -732,6 +750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_manifest": q_pack_manifest,
         "select_by_budget": q_select_by_budget,
         "corpus_summary": q_corpus_summary,
+        "substring_spans": q_substring_spans,
+        "substring_dedup_corpus": q_substring_dedup_corpus,
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_portable": q_minhash_lsh_portable,
         "minhash_lsh_verified": q_minhash_lsh_verified,
@@ -832,6 +852,38 @@ def _ann_portable_oracle() -> str:
 # shared connected-components CTE over sampled n-gram-Jaccard pairs —
 # the oracle for BOTH dup_clusters (cluster labels) and dedup_corpus
 # (cleaned corpus = docs minus non-representative members)
+# Repeated-5-gram window spans (exact-substring dedup, w=5): windows in
+# 0-based token coords; keeper = globally-first (doc_id, pos) occurrence
+# per duplicated hash (rn=1); removable occurrences merge into islands by
+# the running-max-end gaps-and-islands recurrence — mirrors
+# pipeline/dedup.py repeated_substring_spans step for step.
+_SUBSTR_CTE = """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            win AS (SELECT doc_id, p - 1 AS pos,
+                      md5(array_to_string(list_slice(toks, p, p + 4), ' ')) AS h
+                    FROM t, unnest(generate_series(1, len(toks) - 4)) u(p)
+                    WHERE len(toks) >= 5),
+            occ AS (SELECT doc_id, pos, h,
+                      count(*) OVER (PARTITION BY h) AS c,
+                      row_number() OVER (PARTITION BY h
+                                         ORDER BY doc_id, pos) AS rn
+                    FROM win),
+            rem AS (SELECT doc_id, pos FROM occ WHERE c > 1 AND rn > 1),
+            grp AS (SELECT doc_id, pos,
+                      max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS pme
+                    FROM rem),
+            flg AS (SELECT doc_id, pos,
+                      CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END
+                        AS f
+                    FROM grp),
+            isl AS (SELECT doc_id, pos,
+                      sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                    FROM flg)
+"""
+
 _CLUSTER_CTE = f"""WITH sh AS (
               SELECT doc_id, list_distinct(
                 list_transform(generate_series(1, greatest(len({TOK_DD}) - 2, 0)),
@@ -1284,6 +1336,28 @@ def oracle_sql() -> dict[str, str]:
                    min(nt)::BIGINT AS min_tokens,
                    max(nt)::BIGINT AS max_tokens
             FROM c GROUP BY source, lang""",
+        "substring_spans": _SUBSTR_CTE
+        + """
+            SELECT doc_id, min(pos)::BIGINT AS start_tok,
+                   (max(pos) + 5)::BIGINT AS end_tok
+            FROM isl GROUP BY doc_id, island""",
+        "substring_dedup_corpus": _SUBSTR_CTE
+        + """,
+            spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e
+                      FROM isl GROUP BY doc_id, island),
+            tok AS (SELECT t.doc_id, t.toks[p] AS tk, p - 1 AS p0,
+                           len(t.toks) AS n
+                    FROM t, unnest(generate_series(1, len(t.toks))) u(p)),
+            keepmark AS (SELECT doc_id, tk, p0, n,
+                    NOT EXISTS (SELECT 1 FROM spans s
+                                WHERE s.doc_id = tok.doc_id
+                                  AND tok.p0 >= s.s AND tok.p0 < s.e) AS keep
+                FROM tok)
+            SELECT doc_id,
+                   coalesce(string_agg(tk, ' ' ORDER BY p0)
+                            FILTER (WHERE keep), '') AS text,
+                   count(*) FILTER (WHERE NOT keep)::BIGINT AS n_removed
+            FROM keepmark GROUP BY doc_id""",
         "leakage_safe_split": f"""
             {_CLUSTER_CTE},
             clusters AS (SELECT v AS doc_id, min(u) AS cluster_id

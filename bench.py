@@ -39,6 +39,7 @@ HEADLINE = [
     "quality_score",
     "top_ngram_share",
     "pack_sequences",
+    "substring_dedup_corpus",
     "decon_corpus",
     "clean_corpus_lsh",
     "pricing_summary",

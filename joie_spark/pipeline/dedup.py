@@ -450,6 +450,135 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     )
 
 
+def repeated_substring_spans(docs: DataFrame, w: int = 50) -> DataFrame:
+    """Exact-substring dedup, windowed form (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    w-token window of every document is content-hashed; a window whose
+    hash occurs more than once in the corpus is a repeated substring;
+    every occurrence EXCEPT the globally-first one (min (doc_id, pos) —
+    the suffix-array method's keep-one-copy rule) is marked for removal,
+    and per document the marked windows merge into maximal half-open
+    token spans [start_tok, end_tok) (0-based; overlapping and adjacent
+    windows coalesce).
+
+    Tokens are `split(text, ' ')` — span coordinates index that exact
+    sequence so `dedup_substrings` can cut them losslessly (output text
+    re-joins with single spaces; multi-space runs normalize).
+
+    Scale shape (the reason this is windows, not a suffix array): the
+    window table is one row per token occurrence — the same scale as the
+    engine's posting lists — built by a JVM-side transform+posexplode,
+    no Python.  The duplicate-hash aggregate is a groupBy on a uniform
+    md5 key with map-side partial agg (a boilerplate window repeated
+    millions of times at 100 TB is MANY ROWS but ONE GROUP — partial agg
+    collapses it per task before the shuffle).  The windows table is
+    consumed twice (aggregate + join-back), so it is persisted
+    MEMORY_AND_DISK for the job and exposed as `_joie_persisted` for
+    deterministic release — at 100 TB the same structure writes the
+    window table to storage once.  Interval merging is a per-document
+    window function: partitioned by doc_id, bounded by doc length, fully
+    parallel (never a global window).
+
+    Default w=50 follows the paper; the synthetic test corpus's short
+    docs use smaller w in the driver entries."""
+    from pyspark.storagelevel import StorageLevel
+    from pyspark.sql.window import Window
+
+    if w <= 0:
+        raise ValueError(f"w must be positive, got {w}")
+    win = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .where(F.size("toks") >= w)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {w} + 1),"
+                    f" i -> md5(array_join(slice(toks, i, {w}), ' ')))"
+                )
+            ).alias("pos", "h"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dup = (
+        win.groupBy("h")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.struct("doc_id", "pos")).alias("keeper"),
+        )
+        .where(F.col("cnt") > 1)
+        .select("h", "keeper")
+    )
+    rem = win.join(dup, "h").where(
+        (F.col("doc_id") != F.col("keeper.doc_id"))
+        | (F.col("pos") != F.col("keeper.pos"))
+    ).select("doc_id", "pos")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + w).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = rem.withColumn(
+        "_new",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "_isl",
+        F.sum("_new").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    out = (
+        islands.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("start_tok"),
+            (F.max("pos") + w).cast("long").alias("end_tok"),
+        )
+        .select("doc_id", "start_tok", "end_tok")
+    )
+    out._joie_persisted = win  # release handle (freed on GC otherwise)
+    return out
+
+
+def dedup_substrings(docs: DataFrame, w: int = 50) -> DataFrame:
+    """Materialize the substring-deduped corpus: cut every span from
+    `repeated_substring_spans` out of its document's token sequence and
+    re-join.  Output: (doc_id, text, n_removed) — every input doc
+    appears exactly once; a doc whose tokens are all inside removed
+    spans comes back with text='' (kept as a row so downstream joins
+    don't silently lose ids — filter on n_removed/text as policy).
+
+    The cut is a JVM-side indexed array filter against the doc's own
+    span list (collect_list bounded by doc length / w — never corpus-
+    scale state), joined back to the corpus on doc_id."""
+    spans = repeated_substring_spans(docs, w)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("spans")
+    )
+    toks = F.split(F.col("text"), " ")
+    joined = docs.select("doc_id", toks.alias("toks")).join(
+        per_doc, "doc_id", "left"
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
+            F.col("spans"),
+            lambda s: (i >= s["start_tok"]) & (i < s["end_tok"]),
+        ),
+    )
+    out = joined.select(
+        "doc_id",
+        F.when(F.col("spans").isNull(), F.array_join(F.col("toks"), " "))
+        .otherwise(F.array_join(kept, " "))
+        .alias("text"),
+        F.when(
+            F.col("spans").isNull(), F.lit(0)
+        )
+        .otherwise(F.size("toks") - F.size(kept))
+        .cast("long")
+        .alias("n_removed"),
+    )
+    out._joie_persisted = spans._joie_persisted
+    return out
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, threshold: float = 0.95, sample_mod: int = 10
 ) -> DataFrame:

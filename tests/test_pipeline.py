@@ -837,3 +837,34 @@ def test_corpus_summary_planted(spark):
     assert s1["n_tokens"] == s1["min_tokens"] + s1["max_tokens"]
     assert s1["mean_tokens"] == round(s1["n_tokens"] / 2, 4)
     assert got[("s2", "de")]["n_docs"] == 1
+
+
+def test_substring_dedup_planted(spark):
+    """Windowed exact-substring dedup: the globally-first occurrence of
+    each repeated w-gram survives, every other occurrence is cut, and
+    overlapping windows merge into one span."""
+    from joie_spark.pipeline import dedup
+
+    rows = [
+        (1, "x a b c d e y"),           # keeper of "a b c d e" (pos 1)
+        (2, "q a b c d e z"),           # loses [1,6)
+        (3, "a b c d e f"),             # loses [0,5); keeps "b c d e f" @1
+        (4, "p a b c d e f r"),         # two overlapping dups -> [1,7)
+        (5, "m n o p q m n o p q"),     # within-doc repeat -> [5,10)
+        (6, "short one"),               # < w tokens: untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dedup.repeated_substring_spans(df, w=5)
+    got = {(r["doc_id"], r["start_tok"], r["end_tok"]) for r in spans.collect()}
+    spans._joie_persisted.unpersist()
+    assert got == {(2, 1, 6), (3, 0, 5), (4, 1, 7), (5, 5, 10)}
+
+    out = dedup.dedup_substrings(df, w=5)
+    txt = {r["doc_id"]: (r["text"], r["n_removed"]) for r in out.collect()}
+    out._joie_persisted.unpersist()
+    assert txt[1] == ("x a b c d e y", 0)
+    assert txt[2] == ("q z", 5)
+    assert txt[3] == ("f", 5)
+    assert txt[4] == ("p r", 6)
+    assert txt[5] == ("m n o p q", 5)
+    assert txt[6] == ("short one", 0)
