@@ -242,6 +242,23 @@ def main() -> None:
         and "BroadcastHashJoin" in plan_pk
     )
 
+    # 5h. exact-substring dedup (pipeline/dedup.py dedup_substrings):
+    # the window table must be built ONCE (persisted InMemoryRelation
+    # shared by the duplicate-hash aggregate and the join-back) and the
+    # interval-merge windows must be partitioned by doc_id — a global
+    # (unpartitioned) Window here would serialize the corpus through one
+    # task.
+    plan_ss = explain_str(
+        entrymod.queries()["substring_dedup_corpus"](spark, "/root/testdata/sf0.001")
+    )
+    results["substring_windows_cached_and_per_doc"] = (
+        plan_ss.count("InMemoryRelation") >= 2
+        and "hashpartitioning(doc_id" in plan_ss
+        and "SinglePartition" not in plan_ss
+        and "CartesianProduct" not in plan_ss
+        and "BroadcastNestedLoopJoin" not in plan_ss
+    )
+
     # 6. no cross join in any headline bench query (VERDICT r1: the bench
     # must measure the scale paths, not the sampled pairwise oracles)
     import __spark_entry__ as entrymod
