@@ -372,10 +372,14 @@ def q_clean_corpus_lsh(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     bench = docs.where(F.col("doc_id") % 41 == 0)
     pool = docs.where(F.col("doc_id") % 41 != 0)
-    pairs = dedup.minhash_lsh_verified(docs, threshold=0.7).select("a", "b")
-    return clean.clean_corpus(pool, bench, pairs).select(
+    ver = dedup.minhash_lsh_verified(docs, threshold=0.7)
+    out = clean.clean_corpus(pool, bench, ver.select("a", "b")).select(
         "doc_id", "source", "n_chars", "split"
     )
+    # .select() sheds the python-side release handle — reattach it so the
+    # bench's per-rep unpersist frees the shared shingle cache
+    out._joie_persisted = ver._joie_persisted
+    return out
 
 
 def q_redact_pii(spark, sf_dir):

@@ -172,7 +172,7 @@ def pack_manifest(assignments: DataFrame, seq_len: int = 2048) -> DataFrame:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     a = assignments.where(F.col("n_tokens") > 0)
     seq = F.explode(F.expr("sequence(first_seq, last_seq)")).alias("seq_id")
-    return a.select("doc_id", "n_tokens", "start_off", seq).select(
+    out = a.select("doc_id", "n_tokens", "start_off", seq).select(
         "seq_id",
         "doc_id",
         (
@@ -197,3 +197,5 @@ def pack_manifest(assignments: DataFrame, seq_len: int = 2048) -> DataFrame:
         .cast("long")
         .alias("seq_begin"),
     )
+    out._joie_persisted = getattr(assignments, "_joie_persisted", None)
+    return out
