@@ -33,7 +33,9 @@ import joie_spark.pipeline.decontaminate as decon
 import joie_spark.pipeline.packing as packing
 import joie_spark.pipeline.sampling as sampling
 import joie_spark.pipeline.dedup as dedup
+import joie_spark.pipeline.importance as importance
 import joie_spark.pipeline.text as text
+import joie_spark.pipeline.web as web
 
 TOK = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"  # spark
 TOK_DD = "regexp_extract_all(lower(text), '[a-z0-9]+')"  # duckdb
@@ -444,6 +446,50 @@ def q_web_stats(spark, sf_dir):
     return text.web_stats(_docs(spark, sf_dir))
 
 
+def q_boilerplate_lines(spark, sf_dir):
+    """Cross-document boilerplate-line detection (pipeline/web.py
+    boilerplate_lines — CCNet-style): lines repeated across >= 3
+    distinct docs of the same source.  The synthetic corpus has no
+    newlines, so this row pins the empty-set identity; planted
+    boilerplate is pytest-oracled (tests/test_pipeline.py
+    test_boilerplate_planted)."""
+    return web.boilerplate_lines(_docs(spark, sf_dir), min_docs=3)
+
+
+def q_web_clean_corpus(spark, sf_dir):
+    """Boilerplate-line removal, the materialized corpus (pipeline/
+    web.py remove_boilerplate_lines): per-source boilerplate set is
+    broadcast, the rewrite is a scan-stage array filter — the corpus is
+    never shuffled.  At the driver this pins the identity rewrite
+    (text_clean == text, 0 dropped) over every document; planted values
+    are pytest-oracled."""
+    return web.remove_boilerplate_lines(_docs(spark, sf_dir), min_docs=3)
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-ngram importance weights (pipeline/importance.py,
+    Xie et al. 2023): target = doc_id % 31 == 0 slice, raw pool = the
+    rest; unigram+bigram occurrences hashed into 256 md5-portable
+    buckets, Laplace-smoothed log probability ratio per bucket
+    (broadcast, B rows), per-doc sum + length-debiased mean.  The only
+    corpus-sized shuffle keys on doc_id."""
+    docs = _docs(spark, sf_dir)
+    tgt = docs.where(F.col("doc_id") % 31 == 0)
+    pool = docs.where(F.col("doc_id") % 31 != 0)
+    return importance.importance_weights(pool, tgt, n_buckets=256)
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR selection (pipeline/importance.py dsir_select): the 100
+    most target-like pool docs by mean log importance weight,
+    deterministic tiebreak on doc_id; orderBy+limit compiles to
+    TakeOrderedAndProject (plan-audited dsir_take_ordered)."""
+    docs = _docs(spark, sf_dir)
+    tgt = docs.where(F.col("doc_id") % 31 == 0)
+    pool = docs.where(F.col("doc_id") % 31 != 0)
+    return importance.dsir_select(pool, tgt, k=100, n_buckets=256)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concat-and-chunk packing assignment (pipeline/packing.py
     pack_sequences): exact global token prefix-sum via the two-phase
@@ -750,6 +796,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "top_ngram_share": q_top_ngram_share,
         "web_stats": q_web_stats,
+        "boilerplate_lines": q_boilerplate_lines,
+        "web_clean_corpus": q_web_clean_corpus,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
         "pack_sequences": q_pack_sequences,
         "pack_manifest": q_pack_manifest,
         "select_by_budget": q_select_by_budget,
@@ -988,6 +1038,59 @@ def _redact_pii_oracle() -> str:
         "WITH " + ",\n            ".join(ctes)
         + f"\n            SELECT doc_id, red AS text_redacted, {cols} FROM {prev}"
     )
+
+
+def _dsir_oracle(select: bool, b: int = 256, k: int = 100) -> str:
+    """DuckDB side of pipeline/importance.py: unigram+bigram occurrences,
+    md5 bucket hash, Laplace-smoothed log ratio (associativity matches
+    Spark's (lt - lr) tree exactly), per-doc sum/mean rounded to 4."""
+    bucket = f"({_dd_hash64('g', 'dsir')}) % {b}"
+    core = f"""
+            WITH tok AS (SELECT doc_id, {TOK_DD} AS t FROM documents),
+            g AS (
+              SELECT doc_id, unnest(t) AS g FROM tok
+              UNION ALL
+              SELECT doc_id, unnest(list_transform(
+                       generate_series(1, greatest(len(t) - 1, 0)),
+                       i -> array_to_string(t[i:i+1], ' '))) AS g
+              FROM tok),
+            gb AS (SELECT doc_id, {bucket} AS bucket FROM g),
+            tc AS (SELECT bucket, count(*) AS c FROM gb
+                   WHERE doc_id % 31 = 0 GROUP BY bucket),
+            rc AS (SELECT bucket, count(*) AS c FROM gb
+                   WHERE doc_id % 31 != 0 GROUP BY bucket),
+            ratio AS (
+              SELECT bk.bucket,
+                ((ln((coalesce(tc.c, 0) + 1)::DOUBLE)
+                  - ln(((SELECT count(*) FROM gb WHERE doc_id % 31 = 0)
+                        + {b})::DOUBLE))
+                 - (ln((coalesce(rc.c, 0) + 1)::DOUBLE)
+                  - ln(((SELECT count(*) FROM gb WHERE doc_id % 31 != 0)
+                        + {b})::DOUBLE))) AS log_ratio
+              FROM (SELECT unnest(generate_series(0, {b - 1})) AS bucket) bk
+              LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)),
+            pd AS (SELECT gb.doc_id, count(*)::BIGINT AS n_grams,
+                          sum(log_ratio) AS lw
+                   FROM gb JOIN ratio USING (bucket)
+                   WHERE gb.doc_id % 31 != 0 GROUP BY gb.doc_id),
+            w AS (SELECT d.doc_id,
+                    coalesce(pd.n_grams, 0)::BIGINT AS n_grams,
+                    round(coalesce(pd.lw, 0.0), 4) AS log_w,
+                    round(CASE WHEN coalesce(pd.n_grams, 0) > 0
+                               THEN pd.lw / pd.n_grams ELSE 0.0 END,
+                          4) AS avg_log_w,
+                    d.source
+                  FROM documents d LEFT JOIN pd USING (doc_id)
+                  WHERE d.doc_id % 31 != 0)"""
+    if select:
+        return (
+            core
+            + f"""
+            SELECT doc_id, source, n_grams, log_w, avg_log_w FROM w
+            ORDER BY avg_log_w DESC, doc_id LIMIT {k}"""
+        )
+    return core + """
+            SELECT doc_id, n_grams, log_w, avg_log_w FROM w"""
 
 
 def _web_stats_oracle() -> str:
@@ -1274,6 +1377,30 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0 END, 4) AS top_share
             FROM documents d LEFT JOIN pd USING (doc_id)""",
         "web_stats": _web_stats_oracle(),
+        "boilerplate_lines": """
+            WITH l AS (SELECT doc_id, source, trim(x.l) AS line
+                       FROM documents, unnest(string_split(text, chr(10))) AS x(l))
+            SELECT source, line, count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM l WHERE line <> ''
+            GROUP BY source, line HAVING count(DISTINCT doc_id) >= 3""",
+        "web_clean_corpus": """
+            WITH l AS (SELECT doc_id, source, trim(x.l) AS line
+                       FROM documents, unnest(string_split(text, chr(10))) AS x(l)),
+            bp AS (SELECT source, line FROM l WHERE line <> ''
+                   GROUP BY source, line HAVING count(DISTINCT doc_id) >= 3),
+            bpa AS (SELECT source, list(line) AS bl FROM bp GROUP BY source),
+            k AS (SELECT d.doc_id, d.source, d.lang, d.n_chars,
+                    string_split(d.text, chr(10)) AS raw,
+                    list_filter(string_split(d.text, chr(10)),
+                      x -> NOT list_contains(coalesce(bpa.bl, []), trim(x))) AS kept
+                  FROM documents d LEFT JOIN bpa USING (source))
+            SELECT doc_id, source, lang, n_chars,
+                   array_to_string(kept, chr(10)) AS text_clean,
+                   (len(raw) - len(kept))::BIGINT AS n_lines_dropped,
+                   length(array_to_string(kept, chr(10)))::BIGINT AS n_chars_clean
+            FROM k""",
+        "dsir_weights": _dsir_oracle(select=False),
+        "dsir_select": _dsir_oracle(select=True),
         "pack_sequences": f"""
             WITH c AS (SELECT doc_id,
                          len(regexp_extract_all(text, '{_BPE}'))::BIGINT AS n_tokens

@@ -259,6 +259,34 @@ def main() -> None:
         and "BroadcastNestedLoopJoin" not in plan_ss
     )
 
+    # 5i. boilerplate-line rewrite (pipeline/web.py
+    # remove_boilerplate_lines): the per-source boilerplate array must
+    # reach the corpus via broadcast-hash join — a sort-merge join here
+    # would shuffle the full corpus text to strip a handful of lines.
+    plan_bp = explain_str(
+        entrymod.queries()["web_clean_corpus"](spark, "/root/testdata/sf0.001")
+    )
+    results["web_rewrite_broadcast_no_corpus_shuffle"] = (
+        "BroadcastHashJoin" in plan_bp
+        and "SortMergeJoin" not in plan_bp
+        and "CartesianProduct" not in plan_bp
+        and "BroadcastNestedLoopJoin" not in plan_bp
+    )
+
+    # 5j. DSIR selection (pipeline/importance.py dsir_select): the B-row
+    # log-ratio table joins the corpus-sized gram stream via broadcast,
+    # and the top-k compiles to TakeOrderedAndProject (per-partition
+    # heap), never a global Sort+Limit or a nested-loop scalar attach.
+    plan_ds = explain_str(
+        entrymod.queries()["dsir_select"](spark, "/root/testdata/sf0.001")
+    )
+    results["dsir_ratio_broadcast_take_ordered"] = (
+        "BroadcastHashJoin" in plan_ds
+        and "TakeOrderedAndProject" in plan_ds
+        and "CartesianProduct" not in plan_ds
+        and "BroadcastNestedLoopJoin" not in plan_ds
+    )
+
     # 6. no cross join in any headline bench query (VERDICT r1: the bench
     # must measure the scale paths, not the sampled pairwise oracles)
     import __spark_entry__ as entrymod

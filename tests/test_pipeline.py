@@ -868,3 +868,155 @@ def test_substring_dedup_planted(spark):
     assert txt[4] == ("p r", 6)
     assert txt[5] == ("m n o p q", 5)
     assert txt[6] == ("short one", 0)
+
+
+def test_boilerplate_planted(spark):
+    """CCNet-style cross-doc line removal: a line repeated in >= min_docs
+    distinct docs of one source is stripped there and ONLY there; order,
+    intra-line whitespace, and whitespace-only lines are preserved; an
+    intra-doc chorus does not qualify (distinct-doc counting)."""
+    from joie_spark.pipeline import web
+
+    rows = [
+        (1, "visit our site\nreal content one\ncookie banner here", "webA"),
+        (2, "cookie banner here\nanother real line", "webA"),
+        (3, "cookie banner here\n  \nunique text three", "webA"),
+        # same line in a different source, only 1 doc there: kept
+        (4, "cookie banner here", "webB"),
+        # intra-doc chorus repeated 3x in ONE doc: not boilerplate
+        (5, "chorus line\nchorus line\nchorus line\nverse", "webB"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bp = {
+        (r["source"], r["line"]): r["n_docs"]
+        for r in web.boilerplate_lines(df, min_docs=3).collect()
+    }
+    assert bp == {("webA", "cookie banner here"): 3}
+
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_lines_dropped"])
+        for r in web.remove_boilerplate_lines(df, min_docs=3).collect()
+    }
+    assert got[1] == ("visit our site\nreal content one", 1)
+    assert got[2] == ("another real line", 1)
+    assert got[3] == ("  \nunique text three", 1)  # blank line survives
+    assert got[4] == ("cookie banner here", 0)     # other source untouched
+    assert got[5] == ("chorus line\nchorus line\nchorus line\nverse", 0)
+
+    with pytest.raises(ValueError):
+        web.boilerplate_lines(df, min_docs=1)
+
+
+def test_boilerplate_rewrite_plan_broadcasts(spark):
+    """The rewrite joins the per-source boilerplate array via broadcast
+    hash join — the corpus side is never sort-merge-shuffled — and there
+    is no cross join anywhere in the plan."""
+    from joie_spark.pipeline import web
+
+    df = spark.createDataFrame(
+        [(i, f"line {i % 3}\nbody {i}", "s") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    plan = web.remove_boilerplate_lines(df, min_docs=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_planted_matches_python_recompute(spark):
+    """DSIR weights equal an independent pure-Python recompute of the
+    hashed-ngram log-ratio model (same md5 bucketing, Laplace smoothing,
+    occurrence sum) — and selection ranks the target-like docs first."""
+    import hashlib
+    import math
+
+    from joie_spark.pipeline import importance
+
+    B = 32
+
+    def bucket(g):
+        h = int(hashlib.md5(f"dsir:{g}".encode()).hexdigest()[:15], 16)
+        return h % B
+
+    def grams(text):
+        toks = [t for t in text.lower().split() if t]
+        return toks + [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+
+    tgt_rows = [(100 + i, "alpha beta alpha beta gamma", "t") for i in range(3)]
+    pool_rows = [
+        (1, "alpha beta alpha", "s"),
+        (2, "delta epsilon zeta", "s"),
+        (3, "alpha gamma", "s"),
+        (4, "", "s"),
+    ]
+    schema = "doc_id long, text string, source string"
+    tgt = spark.createDataFrame(tgt_rows, schema)
+    pool = spark.createDataFrame(pool_rows, schema)
+
+    tc, rc = {}, {}
+    for _, text, _ in tgt_rows:
+        for g in grams(text):
+            tc[bucket(g)] = tc.get(bucket(g), 0) + 1
+    for _, text, _ in pool_rows:
+        for g in grams(text):
+            rc[bucket(g)] = rc.get(bucket(g), 0) + 1
+    tt, tr = sum(tc.values()), sum(rc.values())
+
+    def ratio(b):
+        lt = math.log(tc.get(b, 0) + 1) - math.log(tt + B)
+        lr = math.log(rc.get(b, 0) + 1) - math.log(tr + B)
+        return lt - lr
+
+    expect = {}
+    for doc_id, text, _ in pool_rows:
+        gs = grams(text)
+        lw = sum(ratio(bucket(g)) for g in gs)
+        expect[doc_id] = (
+            len(gs),
+            round(lw, 4),
+            round(lw / len(gs), 4) if gs else 0.0,
+        )
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["log_w"], r["avg_log_w"])
+        for r in importance.importance_weights(pool, tgt, n_buckets=B).collect()
+    }
+    assert got == expect
+
+    sel = importance.dsir_select(pool, tgt, k=2, n_buckets=B).collect()
+    assert [r["doc_id"] for r in sel] == sorted(
+        expect, key=lambda d: (-expect[d][2], d)
+    )[:2]
+
+    with pytest.raises(ValueError):
+        importance.dsir_select(pool, tgt, k=0)
+
+
+def test_dsir_plan_broadcasts_ratio_and_take_ordered(spark):
+    """The per-doc weight join broadcasts the B-row log-ratio table (the
+    corpus-sized gram side is never sort-merge-joined), and dsir_select
+    compiles to TakeOrderedAndProject, never a global Sort+Limit."""
+    from joie_spark.pipeline import importance
+
+    schema = "doc_id long, text string, source string"
+    tgt = spark.createDataFrame([(100, "alpha beta", "t")], schema)
+    pool = spark.createDataFrame(
+        [(i, f"alpha w{i} beta", "s") for i in range(20)], schema
+    )
+    plan = (
+        importance.dsir_select(pool, tgt, k=3, n_buckets=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    wplan = (
+        importance.importance_weights(pool, tgt, n_buckets=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the only joins in the weights plan are broadcast-hash (ratio table
+    # + the left join back to the doc list after the doc_id groupBy)
+    assert "BroadcastHashJoin" in wplan
+    assert "CartesianProduct" not in wplan
+    assert "BroadcastNestedLoopJoin" not in wplan
