@@ -285,6 +285,20 @@ def q_dedup_corpus(spark, sf_dir):
     return dedup.deduped_corpus(docs, pairs).select("doc_id", "source", "n_chars")
 
 
+def q_dedup_corpus_best(spark, sf_dir):
+    """Quality-keeper dedup (pipeline/dedup.py deduped_corpus_best):
+    per duplicate cluster keep the member with the LARGEST n_chars
+    (tie: smallest doc_id) instead of the smallest doc_id — real
+    pipelines keep the best copy.  Cluster map broadcast, argmax on the
+    cluster-sized slice, losers back as a broadcast anti-join; the
+    corpus is never shuffled."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, sample_mod=5, threshold=0.5)
+    return dedup.deduped_corpus_best(docs, pairs, score_col="n_chars").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     # threshold chosen to yield NONZERO rows on the driver corpus (max
     # observed sampled jaccard ~0.05): a green row should verify VALUES,
@@ -382,6 +396,16 @@ def q_clean_corpus_lsh(spark, sf_dir):
     # bench's per-rep unpersist frees the shared shingle cache
     out._joie_persisted = ver._joie_persisted
     return out
+
+
+def q_gopher_filter(spark, sf_dir):
+    """Gopher composite quality filter (pipeline/clean.py gopher_filter,
+    Rae et al. 2021 Table A1 rules over the map-side signals): per-doc
+    keep verdict + fixed-order comma-joined failure reasons — pure
+    scan-stage codegen, zero shuffles.  Thresholds and rule order are
+    injected into the oracle from the same GOPHER_DEFAULTS dict, so the
+    two sides cannot drift."""
+    return clean.gopher_filter(_docs(spark, sf_dir))
 
 
 def q_redact_pii(spark, sf_dir):
@@ -782,6 +806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_longest": q_topk_longest,
         "dedup_exact": q_dedup_exact,
         "dedup_corpus": q_dedup_corpus,
+        "dedup_corpus_best": q_dedup_corpus_best,
+        "gopher_filter": q_gopher_filter,
         "dup_clusters": q_dup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "decon_hits": q_decon_hits,
@@ -1040,6 +1066,50 @@ def _redact_pii_oracle() -> str:
     )
 
 
+def _gopher_oracle() -> str:
+    """DuckDB side of pipeline/clean.py gopher_filter — thresholds and
+    rule ORDER injected from the same GOPHER_DEFAULTS / STOPWORDS
+    constants, comparisons on the identical unrounded IEEE divisions."""
+    p = clean.GOPHER_DEFAULTS
+    stop = ",".join(f"'{s}'" for s in text.STOPWORDS)
+    cases = f"""
+              CASE WHEN nt < {p["min_tokens"]!r} THEN 'too_short' END,
+              CASE WHEN nt > {p["max_tokens"]!r} THEN 'too_long' END,
+              CASE WHEN (alnum / greatest(nt, 1.0)) < {p["min_mean_tok_len"]!r}
+                     OR (alnum / greatest(nt, 1.0)) > {p["max_mean_tok_len"]!r}
+                   THEN 'tok_len' END,
+              CASE WHEN (nstop / greatest(nt, 1.0)) < {p["min_stopword_ratio"]!r}
+                   THEN 'no_stopwords' END,
+              CASE WHEN (alnum / greatest(nchars, 1.0)) < {p["min_alnum_ratio"]!r}
+                   THEN 'symbols' END,
+              CASE WHEN (CASE WHEN len(lines) > 0 THEN
+                           (len(lines) - len(list_distinct(lines)))::DOUBLE
+                             / len(lines) ELSE 0.0 END)
+                     > {p["max_dup_line_frac"]!r} THEN 'dup_lines' END,
+              CASE WHEN (CASE WHEN len(g5) > 0 THEN
+                           (len(g5) - len(list_distinct(g5)))::DOUBLE
+                             / len(g5) ELSE 0.0 END)
+                     > {p["max_dup_5gram_frac"]!r} THEN 'dup_5grams' END"""
+    return f"""
+            WITH s AS (
+              SELECT doc_id,
+                     len(t)::DOUBLE AS nt,
+                     length(array_to_string(t, ''))::DOUBLE AS alnum,
+                     len(list_filter(t, x ->
+                       list_contains([{stop}], x)))::DOUBLE AS nstop,
+                     length(text)::DOUBLE AS nchars,
+                     string_split(text, chr(10)) AS lines,
+                     list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+                       i -> array_to_string(t[i:i+4], ' ')) AS g5
+              FROM (SELECT doc_id, text, {TOK_DD} AS t FROM documents)),
+            r AS (SELECT doc_id,
+                    -- array_to_string([]) is NULL in DuckDB, '' in Spark
+                    coalesce(array_to_string(list_filter([{cases}],
+                      x -> x IS NOT NULL), ','), '') AS reasons
+                  FROM s)
+            SELECT doc_id, reasons = '' AS keep, reasons FROM r"""
+
+
 def _dsir_oracle(select: bool, b: int = 256, k: int = 100) -> str:
     """DuckDB side of pipeline/importance.py: unigram+bigram occurrences,
     md5 bucket hash, Laplace-smoothed log ratio (associativity matches
@@ -1229,6 +1299,22 @@ def oracle_sql() -> dict[str, str]:
             losers AS (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
             SELECT d.doc_id, d.source, d.n_chars FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""",
+        "dedup_corpus_best": f"""
+            {_CLUSTER_CTE},
+            clusters AS (SELECT v AS doc_id, min(u) AS cluster_id
+                         FROM reach GROUP BY v),
+            m AS (SELECT c.cluster_id, c.doc_id, d.n_chars
+                  FROM clusters c JOIN documents d USING (doc_id)),
+            best AS (SELECT cluster_id, doc_id AS keeper FROM (
+                       SELECT cluster_id, doc_id,
+                              row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn
+                       FROM m) WHERE rn = 1),
+            losers AS (SELECT m.doc_id FROM m JOIN best USING (cluster_id)
+                       WHERE m.doc_id != best.keeper)
+            SELECT d.doc_id, d.source, d.n_chars FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""",
+        "gopher_filter": _gopher_oracle(),
         "ngram_jaccard": f"""
             WITH sh AS (
               SELECT doc_id, list_distinct(

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .decontaminate import contamination_hits
@@ -73,3 +73,101 @@ def clean_corpus(
     decon = gated.join(F.broadcast(bad), "doc_id", "left_anti")
     deduped = deduped_corpus(decon, pairs)
     return with_split(deduped, weights)
+
+
+# Gopher rule thresholds (Rae et al. 2021 Table A1, restricted to the
+# signals this engine computes map-side; the top-n-gram dominance rule
+# needs a per-doc mode aggregation and is layered separately via
+# text.top_ngram_share when wanted).  (rule_name, default) pairs are the
+# single source of truth for the driver oracle.
+GOPHER_DEFAULTS = {
+    "min_tokens": 50,
+    "max_tokens": 100_000,
+    "min_mean_tok_len": 3.0,
+    "max_mean_tok_len": 10.0,
+    "min_stopword_ratio": 0.01,
+    "min_alnum_ratio": 0.5,
+    "max_dup_line_frac": 0.30,
+    "max_dup_5gram_frac": 0.15,
+}
+
+
+def gopher_filter(docs: DataFrame, **overrides) -> DataFrame:
+    """Gopher-style composite quality filter: (doc_id, keep, reasons).
+
+    `reasons` is a comma-joined, fixed-order list of every rule the
+    document fails (empty string when it passes all) — the audit trail a
+    pipeline logs so filtering decisions are explainable; `keep` is
+    reasons == ''.  Rules: token-count bounds, mean token length
+    window, stopword floor, alphanumeric-character floor, duplicate-line
+    and duplicate-5-gram ceilings (thresholds overridable by keyword;
+    defaults in GOPHER_DEFAULTS).
+
+    Everything is array arithmetic inside the scan's codegen stage —
+    zero shuffles at any corpus size, same shape as
+    `text.repetition_stats`.  Comparisons run on the UNROUNDED ratios
+    (single IEEE divisions of exact integer counts — bit-identical in
+    the DuckDB oracle, driver entry gopher_filter)."""
+    return _with_gopher_reasons(docs, overrides).select(
+        "doc_id",
+        (F.col("reasons") == "").alias("keep"),
+        "reasons",
+    )
+
+
+def _with_gopher_reasons(docs: DataFrame, overrides: dict) -> DataFrame:
+    p = dict(GOPHER_DEFAULTS)
+    unknown = set(overrides) - set(p)
+    if unknown:
+        raise ValueError(f"unknown gopher_filter thresholds: {sorted(unknown)}")
+    p.update(overrides)
+
+    from .text import STOPWORDS, ngram_array
+
+    d = with_tokens(docs)
+    n_tok = F.size("tokens").cast("double")
+    alnum = F.length(F.concat_ws("", F.col("tokens"))).cast("double")
+    mean_len = alnum / F.greatest(n_tok, F.lit(1.0))
+    stop_sql = ",".join(repr(s) for s in STOPWORDS)
+    stop_ratio = F.size(
+        F.expr(f"filter(tokens, t -> array_contains(array({stop_sql}), t))")
+    ).cast("double") / F.greatest(n_tok, F.lit(1.0))
+    alnum_ratio = alnum / F.greatest(F.length("text").cast("double"), F.lit(1.0))
+
+    def dup_frac(arr) -> Column:
+        n = F.size(arr).cast("double")
+        nd = F.size(F.array_distinct(arr)).cast("double")
+        return F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0))
+
+    lines = F.split(F.col("text"), "\n")
+    rules = [
+        ("too_short", n_tok < p["min_tokens"]),
+        ("too_long", n_tok > p["max_tokens"]),
+        (
+            "tok_len",
+            (mean_len < p["min_mean_tok_len"])
+            | (mean_len > p["max_mean_tok_len"]),
+        ),
+        ("no_stopwords", stop_ratio < p["min_stopword_ratio"]),
+        ("symbols", alnum_ratio < p["min_alnum_ratio"]),
+        ("dup_lines", dup_frac(lines) > p["max_dup_line_frac"]),
+        ("dup_5grams", dup_frac(ngram_array(5)) > p["max_dup_5gram_frac"]),
+    ]
+    reasons = F.array_join(
+        F.filter(
+            F.array(*[F.when(cond, F.lit(name)) for name, cond in rules]),
+            lambda x: x.isNotNull(),
+        ),
+        ",",
+    )
+    return d.withColumn("reasons", reasons)
+
+
+def gopher_corpus(docs: DataFrame, **overrides) -> DataFrame:
+    """The corpus minus Gopher-rule failures — the keep predicate is
+    inlined on the scan (pure filter, no join, zero shuffles)."""
+    return (
+        _with_gopher_reasons(docs, overrides)
+        .where(F.col("reasons") == "")
+        .select(*docs.columns)
+    )

@@ -95,6 +95,42 @@ def deduped_corpus(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti")
 
 
+def deduped_corpus_best(
+    docs: DataFrame, pairs: DataFrame, score_col: str = "n_chars"
+) -> DataFrame:
+    """`deduped_corpus` with a QUALITY keeper policy: per duplicate
+    cluster, keep the member with the highest `score_col` (ties broken
+    by smallest doc_id), not the smallest doc_id.
+
+    Real pipelines keep the best copy — the longest extraction, the
+    highest quality score — because near-duplicate members differ
+    (truncation, boilerplate, OCR noise) even when their shingle sets
+    overlap.  min-doc_id keeping silently prefers whichever copy was
+    ingested first.
+
+    Plan shape: the cluster map is broadcast against the corpus to pull
+    ONLY cluster members (scan-side hash-join filter); the argmax runs
+    on that cluster-sized slice (`max_by` over (score, -doc_id) — one
+    tiny groupBy); losers come back as a broadcast anti-join.  The
+    corpus is never shuffled, same as `deduped_corpus`."""
+    clusters = duplicate_clusters(pairs.select("a", "b"))
+    members = docs.join(F.broadcast(clusters), "doc_id").select(
+        "doc_id", "cluster_id", F.col(score_col).alias("_s")
+    )
+    best = members.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(F.col("_s"), (-F.col("doc_id")).alias("_t")),
+        ).alias("keeper")
+    )
+    losers = (
+        members.join(F.broadcast(best), "cluster_id")
+        .where(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+    )
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti")
+
+
 def _hash64_sql(expr: str, seed, portable: bool) -> str:
     """Seeded 64-bit hash as Spark SQL text.
 

@@ -1020,3 +1020,70 @@ def test_dsir_plan_broadcasts_ratio_and_take_ordered(spark):
     assert "BroadcastHashJoin" in wplan
     assert "CartesianProduct" not in wplan
     assert "BroadcastNestedLoopJoin" not in wplan
+
+
+def test_gopher_filter_planted(spark):
+    """Each Gopher rule fires on a doc built to fail exactly it; reasons
+    keep the fixed rule order; overrides move the threshold; unknown
+    thresholds raise; gopher_corpus is a pure scan filter (no Exchange)."""
+    from joie_spark.pipeline import clean
+
+    good = " ".join(f"word{i} the of to" for i in range(20))  # 80 toks, stopwordy
+    rows = [
+        (1, good, "s"),
+        (2, "tiny the of", "s"),                               # too_short
+        (3, " ".join(["a"] * 60), "s"),                        # mean tok len 1 < 3
+        (4, " ".join(f"word{i}" for i in range(60)), "s"),     # no stopwords
+        (5, " ".join(["the lorem ipsum dolor sit"] * 12), "s"),# dup_5grams (+stopwords ok)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: (r["keep"], r["reasons"]) for r in clean.gopher_filter(df).collect()}
+    assert got[1] == (True, "")
+    assert got[2][0] is False and "too_short" in got[2][1]
+    assert got[3][0] is False and "tok_len" in got[3][1]
+    assert got[4] == (False, "no_stopwords")
+    assert got[5][0] is False and "dup_5grams" in got[5][1]
+    # multi-reason order is the fixed rule order
+    assert got[2][1].split(",")[0] == "too_short"
+
+    # override: drop the token floor, doc 2 now fails only nothing/stopword
+    relaxed = {r["doc_id"]: r["keep"] for r in clean.gopher_filter(df, min_tokens=2).collect()}
+    assert relaxed[2] is True
+
+    kept = {r["doc_id"] for r in clean.gopher_corpus(df).collect()}
+    assert kept == {1}
+    plan = clean.gopher_corpus(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    with pytest.raises(ValueError):
+        clean.gopher_filter(df, bogus_threshold=1)
+
+
+def test_dedup_corpus_best_planted(spark):
+    """Quality-keeper dedup keeps the highest-score cluster member (tie:
+    smallest doc_id) where min-id policy would keep the first-ingested;
+    non-cluster docs pass through; corpus side joins by broadcast."""
+    from joie_spark.pipeline import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base, len(base)),                       # short copy, ingested first
+        (2, base + " extra tail words", len(base) + 17),  # best copy, later id
+        (7, base + " extra tail words", len(base) + 17),  # tie with 2 -> 2 wins
+        (9, "completely unrelated content here", 33),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    pairs = dedup.ngram_jaccard_pairs(df, n=3, sample_mod=1, threshold=0.5)
+    assert pairs.count() >= 2  # 1-2, 1-7, 2-7 overlap
+
+    best = {r["doc_id"] for r in dedup.deduped_corpus_best(df, pairs, "n_chars").collect()}
+    assert best == {2, 9}
+    # contrast: min-id policy keeps doc 1
+    minid = {r["doc_id"] for r in dedup.deduped_corpus(df, pairs).collect()}
+    assert minid == {1, 9}
+
+    plan = (
+        dedup.deduped_corpus_best(df, pairs, "n_chars")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
