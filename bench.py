@@ -42,6 +42,9 @@ HEADLINE = [
     "substring_dedup_corpus",
     "decon_corpus",
     "clean_corpus_lsh",
+    "gopher_filter",
+    "web_clean_corpus",
+    "dsir_select",
     "pricing_summary",
     "join_revenue_topk",
 ]

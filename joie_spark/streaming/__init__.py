@@ -1,5 +1,7 @@
 from .ingest import (  # noqa: F401
     append_stream,
+    clean_microbatch,
+    clean_stream,
     dedup_stream,
     dedup_stream_against,
     sessionize_stream,

@@ -273,6 +273,75 @@ def dedup_stream_against(
     )
 
 
+def clean_microbatch(
+    batch_df: DataFrame,
+    bench: DataFrame,
+    seen_fps: DataFrame | None = None,
+    decon_ngram: int = 4,
+    min_hits: int = 1,
+    **gopher_overrides,
+):
+    """The per-micro-batch cleaning transform: Gopher quality gate
+    (scan-stage filter) → benchmark decontamination (broadcast eval
+    n-gram set) → optional dedup against a static seen-set (broadcast
+    anti-join on the content fingerprint).
+
+    Every stage is PER-DOCUMENT against static side data — no cross-row
+    state — so applying it batch-by-batch equals applying it to the
+    union (tested, tests/test_streaming.py): micro-batch composition is
+    exact, not approximate.  Cross-batch exact dedup is the one stage
+    that genuinely needs state; compose `dedup_stream` upstream (state
+    store) or pass the indexed corpus fingerprints as `seen_fps`."""
+    from ..pipeline.clean import gopher_corpus
+    from ..pipeline.decontaminate import decontaminated_corpus
+
+    out = gopher_corpus(batch_df, **gopher_overrides)
+    out = decontaminated_corpus(out, bench, n=decon_ngram, min_hits=min_hits)
+    if seen_fps is not None:
+        out = dedup_stream_against(out, seen_fps).drop("fp")
+    return out
+
+
+def clean_stream(
+    stream_df: DataFrame,
+    bench: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    seen_fps: DataFrame | None = None,
+    trigger_available_now: bool = True,
+    **opts,
+):
+    """Continuous corpus cleaning: each micro-batch runs
+    `clean_microbatch` (batch semantics per batch — the idiomatic
+    foreachBatch shape for per-doc transforms against static sides,
+    same pattern as append_stream) and hands the cleaned frame to
+    `sink(df, batch_id)` — e.g. a parquet append, or append_index for
+    clean-then-index ingestion.  Static sides (`bench`, `seen_fps`) are
+    re-resolved per micro-batch, so refreshing the eval set or the seen
+    table takes effect on the next batch without a restart.
+
+    Returns the started StreamingQuery; `trigger_available_now=True`
+    drains what is available and stops (the cron/Airflow deployment
+    shape)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sink(
+            clean_microbatch(batch_df, bench, seen_fps=seen_fps, **opts),
+            batch_id,
+        )
+
+    w = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def stream_turn_stats(
     stream_df: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
 ) -> DataFrame:

@@ -331,3 +331,55 @@ def test_dedup_stream_against_static_seen(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(out).collect()
     assert [r["doc_id"] for r in got] == [2]
+
+
+def test_clean_stream_equals_batch_composition(spark, tmp_path):
+    """clean_stream over two availableNow drains emits exactly what
+    clean_microbatch produces on the full union — every stage is per-doc
+    against static sides, so micro-batching is exact.  Gopher gate,
+    decontamination, and the static-seen dedup each drop their planted
+    doc."""
+    from joie_spark.streaming import clean_microbatch, clean_stream, with_fingerprint
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    good = " ".join(f"word{i} the of to" for i in range(20))  # passes gopher
+    contaminated = good + " secret eval question about dragons"
+    bench = spark.createDataFrame(
+        [(900, "secret eval question about dragons", None)], DOC_FIELDS
+    )
+    indexed = spark.createDataFrame([(901, good + " indexed copy", None)], DOC_FIELDS)
+    seen = with_fingerprint(indexed).select("fp")
+
+    wave1 = [(1, good, 0), (2, "too short", 1), (3, contaminated, 2)]
+    wave2 = [(4, good + " fresh tail words", 10), (5, good + " indexed copy", 11)]
+
+    def drain():
+        stream = spark.readStream.schema(DOC_FIELDS).parquet(src)
+        q = clean_stream(
+            stream,
+            bench,
+            lambda df, bid: df.write.mode("append").parquet(out),
+            ckpt,
+            seen_fps=seen,
+        )
+        q.awaitTermination(120)
+
+    _write_docs(spark, src, wave1)
+    drain()
+    _write_docs(spark, src, wave2)
+    drain()
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 4]  # 2: gopher too_short; 3: decon; 5: seen dup
+
+    full = spark.read.parquet(src)
+    batch = sorted(
+        r["doc_id"]
+        for r in clean_microbatch(full, bench, seen_fps=seen).collect()
+    )
+    assert got == batch
+    # column parity: the streamed sink rows carry the input schema
+    assert set(spark.read.parquet(out).columns) == set(full.columns)
