@@ -34,6 +34,7 @@ import joie_spark.pipeline.packing as packing
 import joie_spark.pipeline.sampling as sampling
 import joie_spark.pipeline.dedup as dedup
 import joie_spark.pipeline.importance as importance
+import joie_spark.pipeline.semdedup as semdedup
 import joie_spark.pipeline.text as text
 import joie_spark.pipeline.web as web
 
@@ -674,6 +675,50 @@ def q_ann_ivf_portable(spark, sf_dir):
     )
 
 
+SEMDEDUP_CELLS, SEMDEDUP_EPS = 8, 0.35
+
+
+def _semdedup_centroids(sf_dir: str):
+    """Spark-free centroid training (the IVF recipe): pyarrow read + the
+    shared numpy k-means core, so queries() and oracle_sql() inject the
+    bit-identical centroid matrix."""
+    return ann.kmeans_centroids_from_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), k=SEMDEDUP_CELLS
+    )
+
+
+def q_semdedup(spark, sf_dir):  # rows-only (pandas-UDF cell assignment
+    # isn't SQL; pytest oracles: test_semdedup_planted_keeper_and_drops
+    # recomputes the greedy in pure Python and
+    # test_semdedup_portable_matches_fast_on_gaussian pins this path to
+    # the VALUE-oracled portable twin below) — the benched scale shape
+    c_path = os.path.join(sf_dir, "embeddings.parquet")
+    C = ann.kmeans_centroids_from_parquet(c_path, k=SEMDEDUP_CELLS)
+    return semdedup.semdedup_corpus(_emb(spark, sf_dir), C, SEMDEDUP_EPS)
+
+
+def q_semdedup_drops(spark, sf_dir):
+    """SemDeDup (pipeline/semdedup.py, Abbas et al. 2023): k-means cells
+    → within-cell greedy ordered by centroid-cosine — portable-SQL cell
+    assignment so the full drop set (vec_id, cell, witness) is
+    value-checked against DuckDB."""
+    C = _semdedup_centroids(sf_dir)
+    return semdedup.semdedup_drops(
+        _emb(spark, sf_dir), C, SEMDEDUP_EPS, portable=True
+    )
+
+
+def q_semdedup_corpus(spark, sf_dir):
+    """The semantically deduplicated corpus (scalar projection — the
+    embedding array itself is float32 and stays out of the value hash,
+    same convention as every embedding entry)."""
+    C = _semdedup_centroids(sf_dir)
+    kept = semdedup.semdedup_corpus(
+        _emb(spark, sf_dir), C, SEMDEDUP_EPS, portable=True
+    )
+    return kept.select("vec_id", "label")
+
+
 def q_quality_score(spark, sf_dir):
     return text.quality_score(_docs(spark, sf_dir))
 
@@ -845,6 +890,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed_portable": q_ann_lsh_bucketed_portable,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_portable": q_ann_ivf_portable,
+        "semdedup": q_semdedup,
+        "semdedup_drops": q_semdedup_drops,
+        "semdedup_corpus": q_semdedup_corpus,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -903,6 +951,52 @@ def _ann_ivf_portable_oracle() -> str:
               FROM cand c CROSS JOIN q)
             SELECT vec_id, round(dot/(na*nb), 4) AS cos FROM p
             ORDER BY dot/(na*nb) DESC, vec_id LIMIT 10"""
+
+
+def _semdedup_oracle(which: str) -> str:
+    """DuckDB twin of q_semdedup_drops / q_semdedup_corpus: identical
+    centroid literals (kmeans_centroids_from_parquet), identical
+    left-assoc dot chains + first-index-wins argmax CASE for the cell,
+    centroid-cosine order key rounded to 4, within-cell pair predicate
+    (a.ccr, a.vec_id) < (b.ccr, b.vec_id) with the rounded cosine
+    threshold — the SemDeDup greedy as one relational query."""
+    C = _semdedup_centroids(ORACLE_SF_DIR)
+    n = len(C)
+    elem = "{v}[{i}]::DOUBLE"
+    d_cols = ",\n                   ".join(
+        f"{ann.portable_dot_sql(C[c], 'e.embedding', elem)} AS d{c}"
+        for c in range(n)
+    )
+    case = ann.portable_argmax_case(n)
+    pick = " ".join(f"WHEN cell = {c} THEN d{c}" for c in range(n))
+    dlist = ", ".join(f"d{c}" for c in range(n))
+    base = f"""
+            WITH d AS (SELECT e.vec_id, e.embedding,
+                   {d_cols}
+                  FROM embeddings e),
+            m0 AS (SELECT vec_id, embedding, {dlist}, {case} AS cell FROM d),
+            m AS (SELECT vec_id, embedding, cell,
+                   round((CASE {pick} END)
+                     / sqrt(list_sum(list_transform(embedding,
+                         x -> x::DOUBLE * x::DOUBLE))), 4) AS ccr
+                  FROM m0),
+            pr AS (SELECT a.vec_id AS wa, b.vec_id AS vb, b.cell AS cell,
+                list_sum(list_transform(generate_series(1, len(a.embedding)),
+                         i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) AS dot,
+                sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) AS na,
+                sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))) AS nb
+              FROM m a JOIN m b ON a.cell = b.cell
+                AND (a.ccr, a.vec_id) < (b.ccr, b.vec_id)),
+            drops AS (SELECT vb AS vec_id, max(cell) AS cell,
+                             min(wa) AS witness
+                      FROM pr WHERE round(dot/(na*nb), 4) >= {SEMDEDUP_EPS!r}
+                      GROUP BY vb)"""
+    if which == "drops":
+        return base + """
+            SELECT vec_id, cell, witness FROM drops"""
+    return base + """
+            SELECT e.vec_id, e.label FROM embeddings e
+            WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)"""
 
 
 def _ann_portable_oracle() -> str:
@@ -1594,6 +1688,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_portable": _minhash_portable_oracle(),
         "ann_lsh_bucketed_portable": _ann_portable_oracle(),
         "ann_ivf_portable": _ann_ivf_portable_oracle(),
+        "semdedup_drops": _semdedup_oracle("drops"),
+        "semdedup_corpus": _semdedup_oracle("corpus"),
         "simhash_portable": _simhash_portable_oracle(),
         "simhash_pairs_portable": _simhash_pairs_portable_oracle(),
         "embedding_neardup": """

@@ -45,6 +45,7 @@ HEADLINE = [
     "gopher_filter",
     "web_clean_corpus",
     "dsir_select",
+    "semdedup",
     "pricing_summary",
     "join_revenue_topk",
 ]

@@ -1087,3 +1087,123 @@ def test_dedup_corpus_best_planted(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "SortMergeJoin" not in plan
+
+
+def _semdedup_python_oracle(rows, C, threshold):
+    """Pure-Python recompute of the SemDeDup greedy (the numpy twin of
+    pipeline/semdedup.py): assign cells by raw-dot argmax, order members
+    by (round(centroid_cos, 4), vec_id), drop b iff ANY earlier a in the
+    same cell has round(cos(a, b), 4) >= threshold."""
+    import numpy as np
+
+    ids = [v for v, _ in rows]
+    X = np.asarray([np.asarray(e, dtype=np.float64) for _, e in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cell = np.argmax(X @ C.T, axis=1)
+    cc = np.round(
+        (X @ C.T)[np.arange(len(X)), cell] / np.linalg.norm(X, axis=1), 4
+    )
+    drops = {}
+    for c in set(cell.tolist()):
+        idx = [i for i in range(len(X)) if cell[i] == c]
+        order = sorted(idx, key=lambda i: (cc[i], ids[i]))
+        for pi, i in enumerate(order):
+            for j in order[:pi]:
+                if round(float(Xn[i] @ Xn[j]), 4) >= threshold:
+                    prev = drops.get(ids[i])
+                    drops[ids[i]] = (
+                        min(prev, ids[j]) if prev is not None else ids[j]
+                    )
+    return drops  # vec_id -> witness (min earlier vec_id over threshold)
+
+
+def test_semdedup_planted_keeper_and_drops(spark):
+    """SemDeDup on planted clone groups: the kept member of each group is
+    the one FARTHEST from its cell centroid (the paper's keeper), every
+    drop carries an earlier-ordered witness, the cleaned corpus is the
+    complement, and the whole output equals a pure-Python recompute."""
+    import random
+
+    from joie_spark.pipeline import semdedup
+
+    rng = random.Random(11)
+    rows, vid = [], 0
+    # two well-separated directions, each with near-identical clones plus
+    # one member far enough (cos < threshold) to survive
+    for sign in (1.0, -1.0):
+        base = [sign * (2.0 + rng.random()) for _ in range(12)]
+        for _ in range(4):  # clones: pairwise cos ~ 1
+            rows.append((vid, [x + rng.gauss(0, 0.01) for x in base]))
+            vid += 1
+        rows.append((vid, [x + rng.gauss(0, 2.5) for x in base]))  # outlier
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C = ann.kmeans_centroids(emb, k=2, sample=512)
+
+    for portable in (False, True):
+        got = {
+            r["vec_id"]: r["witness"]
+            for r in semdedup.semdedup_drops(
+                emb, C, threshold=0.9, portable=portable
+            ).collect()
+        }
+        want = _semdedup_python_oracle(rows, C, 0.9)
+        assert got == want, f"portable={portable}"
+        # each clone group of 4 keeps exactly one; outliers survive
+        assert len(got) == 6
+        kept = {
+            r["vec_id"]
+            for r in semdedup.semdedup_corpus(
+                emb, C, threshold=0.9, portable=portable
+            ).collect()
+        }
+        assert kept == set(range(10)) - set(got)
+        # the kept clone is each group's FARTHEST-from-centroid member
+        # (min centroid-cos, ties by vec_id) — the paper's keeper policy;
+        # witnesses may themselves be dropped (the greedy compares
+        # against ALL earlier-ordered members, kept or not)
+        import numpy as np
+
+        X = np.asarray([e for _, e in rows])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        cell = np.argmax(X @ C.T, axis=1)
+        cc = np.round(
+            (X @ C.T)[np.arange(len(X)), cell] / np.linalg.norm(X, axis=1), 4
+        )
+        for group in ({0, 1, 2, 3}, {5, 6, 7, 8}):
+            keeper = min(group, key=lambda i: (cc[i], i))
+            assert kept & group == {keeper}
+
+    # corpus side never shuffles: losers arrive by broadcast anti-join
+    plan = (
+        semdedup.semdedup_corpus(emb, C, threshold=0.9)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_semdedup_portable_matches_fast_on_gaussian(spark):
+    """The pandas-UDF cell assignment and the portable-SQL argmax produce
+    the same drop set and witnesses on unstructured gaussian data (no
+    planted ties), mirroring the IVF fast/portable agreement test."""
+    import random
+
+    from joie_spark.pipeline import semdedup
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C = ann.kmeans_centroids(emb, k=6, sample=512)
+
+    fast = {
+        (r["vec_id"], r["cell"], r["witness"])
+        for r in semdedup.semdedup_drops(emb, C, 0.35, portable=False).collect()
+    }
+    portable = {
+        (r["vec_id"], r["cell"], r["witness"])
+        for r in semdedup.semdedup_drops(emb, C, 0.35, portable=True).collect()
+    }
+    assert fast == portable
+    assert {(v, w) for v, _c, w in fast} == set(
+        _semdedup_python_oracle(rows, C, 0.35).items()
+    )
