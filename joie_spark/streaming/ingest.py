@@ -342,6 +342,74 @@ def clean_stream(
     return w.start()
 
 
+def clean_then_index_stream(
+    stream_df: DataFrame,
+    bench: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    seen_fps: DataFrame | None = None,
+    trigger_available_now: bool = True,
+    **opts,
+):
+    """The full ingestion story composed: stream of transcript TURNS →
+    conversation-level cleaning gates → index append, one delta
+    generation per micro-batch.
+
+    Gating is per CONVERSATION (the unit the index ingests): each
+    micro-batch rolls its conversations up to one document (turn texts
+    joined in turn_idx order), runs `clean_microbatch` on that roll-up
+    (Gopher gate → benchmark decontamination → optional static-seen
+    dedup), then semi-joins the surviving conv_ids back against the raw
+    turns and appends them — a dropped conversation vanishes wholly, so
+    append_index's whole-conversations-per-batch contract is preserved.
+    The roll-up doc_id is xxhash64(conv_id) (the gates only need a
+    unique id within the batch; nothing persists it).
+
+    Same exactness argument as clean_stream: every gate is per-document
+    against static sides, so batch-by-batch gating equals gating the
+    union; the append inherits append_stream's idempotency-key replay
+    protection.  Returns the started StreamingQuery."""
+    from ..operators.append import append_index
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        convs = batch_df.groupBy("conv_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("turn_idx", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("text")
+        )
+        docs = convs.select(
+            F.xxhash64("conv_id").alias("doc_id"), "conv_id", "text"
+        )
+        kept = clean_microbatch(docs, bench, seen_fps=seen_fps, **opts).select(
+            "conv_id"
+        )
+        clean_turns = batch_df.join(F.broadcast(kept), "conv_id", "left_semi")
+        if clean_turns.isEmpty():
+            return
+        append_index(
+            batch_df.sparkSession, clean_turns, index_dir,
+            collect_metrics=False,
+            idempotency_key=f"clean-stream-batch={batch_id}",
+        )
+
+    w = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def stream_turn_stats(
     stream_df: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
 ) -> DataFrame:

@@ -383,3 +383,99 @@ def test_clean_stream_equals_batch_composition(spark, tmp_path):
     assert got == batch
     # column parity: the streamed sink rows carry the input schema
     assert set(spark.read.parquet(out).columns) == set(full.columns)
+
+
+def test_clean_then_index_stream_gates_conversations(spark, tmp_path):
+    """The composed ingestion story: transcript turns stream in, whole
+    conversations are gated (Gopher / decontamination / static-seen
+    dedup on the turn-ordered roll-up), survivors are appended as one
+    delta generation per drain, and the final index contains EXACTLY the
+    surviving conversations with all their turns."""
+    from pyspark.sql import functions as F
+
+    from joie_spark.engine import Engine
+    from joie_spark.sources.tables import Manifest
+    from joie_spark.streaming import clean_then_index_stream, with_fingerprint
+
+    src = str(tmp_path / "cti_src")
+    ckpt = str(tmp_path / "cti_ckpt")
+    ix = str(tmp_path / "cti_ix")
+
+    good = [f"word{i} the of to" for i in range(20)]  # 80 tok, gopher-ok
+
+    def turns(conv, texts):
+        return [
+            (conv, i, "user", t, "", "2024-01-01 00:00:00")
+            for i, t in enumerate(texts)
+        ]
+
+    def write_src(rows):
+        spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts string",
+        ).selectExpr(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            "CAST(ts AS TIMESTAMP) AS ts",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    base = turns("base-0", [" ".join(good[:10]) + " basequery flavor"])
+    Engine.build(
+        spark, write_src(base) or spark.read.parquet(src), ix,
+        n_buckets=8, docs_per_block=8, block_chunks=1,
+    )
+    # the indexed roll-up as the static seen-set for exact-dup gating
+    seen = with_fingerprint(
+        spark.createDataFrame(
+            [(0, " ".join(good[:10]) + " basequery flavor", None)],
+            "doc_id long, text string, ts timestamp",
+        )
+    ).select("fp")
+    bench = spark.createDataFrame(
+        [(900, "secret eval question about dragons", None)],
+        "doc_id long, text string, ts timestamp",
+    )
+
+    wave1 = (
+        turns("cl-good", [" ".join(good[:10]), " ".join(good[10:]) + " zebrafact"])
+        + turns("cl-short", ["too short"])  # gopher: under min_tokens
+        + turns(
+            "cl-contam",
+            [" ".join(good) + " secret eval question about dragons"],
+        )
+        + turns("cl-dup", [" ".join(good[:10]) + " basequery flavor"])  # seen
+    )
+    # the base conv is already indexed; stream only the new files
+    write_src(wave1)
+    stream = (
+        spark.readStream.schema(TURN_FIELDS)
+        .option("maxFilesPerTrigger", "10")
+        .parquet(src)
+    )
+    # first drain replays the base file too — its conv is a seen-dup by
+    # fingerprint, so the gate (not the disjointness check) must drop it
+    q = clean_then_index_stream(stream, bench, ix, ckpt, seen_fps=seen)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    eng = Engine(spark, ix)
+    convs = {
+        r["conv_id"]
+        for r in eng.index.doc_meta.select("conv_id").distinct().collect()
+    }
+    assert convs == {"base-0", "cl-good"}
+    # all surviving turns present and searchable
+    assert eng.search("zebrafact", k=5).count() == 1
+    assert eng.search("dragons", k=5).count() == 0
+
+    # second drain: a fresh good conversation; gating is incremental
+    write_src(turns("cl-good2", [" ".join(good) + " quaggafact"]))
+    stream = spark.readStream.schema(TURN_FIELDS).parquet(src)
+    q = clean_then_index_stream(stream, bench, ix, ckpt, seen_fps=seen)
+    q.awaitTermination(120)
+
+    eng = Engine(spark, ix)
+    assert eng.search("quaggafact", k=5).count() == 1
+    man = Manifest.load(ix)
+    appended = [e["unit"] for e in man.entries if e["stage"] == "append"]
+    assert appended == ["gen=1", "gen=2"]  # one generation per drain
