@@ -34,6 +34,7 @@ import joie_spark.pipeline.packing as packing
 import joie_spark.pipeline.sampling as sampling
 import joie_spark.pipeline.dedup as dedup
 import joie_spark.pipeline.importance as importance
+import joie_spark.pipeline.perplexity as perplexity
 import joie_spark.pipeline.semdedup as semdedup
 import joie_spark.pipeline.text as text
 import joie_spark.pipeline.web as web
@@ -719,6 +720,27 @@ def q_semdedup_corpus(spark, sf_dir):
     return kept.select("vec_id", "label")
 
 
+# CCNet head/middle/tail cuts: the sf0.01 terciles of ppl_score under the
+# en-reference model, PINNED as literals so the tier CASE is
+# oracle-portable (production derives cuts per-corpus with
+# perplexity.ppl_cuts — one approxQuantile pass)
+PPL_CUTS = (280.0, 296.3)
+
+
+def q_ppl_score(spark, sf_dir):
+    """CCNet-style perplexity (pipeline/perplexity.py): hashed-bigram LM
+    trained on the en documents, every document scored — md5-portable
+    buckets, so model training AND scoring are value-checked."""
+    d = _docs(spark, sf_dir)
+    return perplexity.ppl_score(d, d.where(F.col("lang") == "en"))
+
+
+def q_ppl_tiers(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    s = perplexity.ppl_score(d, d.where(F.col("lang") == "en"))
+    return perplexity.ppl_tiers(s, *PPL_CUTS)
+
+
 def q_quality_score(spark, sf_dir):
     return text.quality_score(_docs(spark, sf_dir))
 
@@ -893,6 +915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "semdedup_drops": q_semdedup_drops,
         "semdedup_corpus": q_semdedup_corpus,
+        "ppl_score": q_ppl_score,
+        "ppl_tiers": q_ppl_tiers,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1255,6 +1279,62 @@ def _dsir_oracle(select: bool, b: int = 256, k: int = 100) -> str:
         )
     return core + """
             SELECT doc_id, n_grams, log_w, avg_log_w FROM w"""
+
+
+def _ppl_oracle(tiers: bool) -> str:
+    """DuckDB side of pipeline/perplexity.py: en-reference hashed-bigram
+    LM (md5 buckets, same 'ppl1'/'ppl2' salts), Laplace-smoothed
+    per-bigram ln p computed with the identical per-row association
+    (ln(cb+1) - ln(cu+B2)), per-doc mean → exp → round 4.  Tier CASE on
+    the pinned PPL_CUTS literals."""
+    import joie_spark.pipeline.perplexity as _P
+
+    bu, bb = _P.UNI_BUCKETS, _P.BI_BUCKETS
+    ub = f"({_dd_hash64('ctx', 'ppl1')}) % {bu}"
+    bbx = f"({_dd_hash64('g', 'ppl2')}) % {bb}"
+    core = f"""
+            WITH tok AS (SELECT doc_id, lang, {TOK_DD} AS t FROM documents),
+            uni AS (SELECT ({_dd_hash64('g', 'ppl1')}) % {bu} AS bucket,
+                           count(*) AS cu
+                    FROM (SELECT unnest(t) AS g FROM tok WHERE lang = 'en')
+                    GROUP BY 1),
+            bi AS (SELECT ({_dd_hash64('g', 'ppl2')}) % {bb} AS bucket,
+                          count(*) AS cb
+                   FROM (SELECT unnest(list_transform(
+                            generate_series(1, greatest(len(t) - 1, 0)),
+                            i -> array_to_string(t[i:i+1], ' '))) AS g
+                         FROM tok WHERE lang = 'en')
+                   GROUP BY 1),
+            grams AS (SELECT doc_id, u.ctx AS ctx, u.g AS g
+                      FROM (SELECT doc_id, unnest(list_transform(
+                              generate_series(1, greatest(len(t) - 1, 0)),
+                              i -> {{'ctx': t[i],
+                                     'g': array_to_string(t[i:i+1], ' ')}})) AS u
+                            FROM tok)),
+            lp AS (SELECT doc_id,
+                     (ln((coalesce(bi.cb, 0) + 1)::DOUBLE)
+                      - ln((coalesce(uni.cu, 0) + {bb})::DOUBLE)) AS lp
+                   FROM (SELECT doc_id, {ub} AS ubk, {bbx} AS bbk FROM grams) x
+                   LEFT JOIN bi ON x.bbk = bi.bucket
+                   LEFT JOIN uni ON x.ubk = uni.bucket),
+            pd AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                          sum(lp) AS slp
+                   FROM lp GROUP BY doc_id),
+            w AS (SELECT d.doc_id,
+                    coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams,
+                    round(exp(-pd.slp / pd.n_bigrams), 4) AS ppl
+                  FROM documents d LEFT JOIN pd USING (doc_id))"""
+    if not tiers:
+        return core + """
+            SELECT doc_id, n_bigrams, ppl FROM w"""
+    lo, hi = PPL_CUTS
+    return core + f"""
+            SELECT doc_id, n_bigrams, ppl,
+                   CASE WHEN ppl IS NULL THEN 'tail'
+                        WHEN ppl <= {lo!r} THEN 'head'
+                        WHEN ppl <= {hi!r} THEN 'middle'
+                        ELSE 'tail' END AS tier
+            FROM w"""
 
 
 def _web_stats_oracle() -> str:
@@ -1714,6 +1794,8 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0)
             SELECT vec_id, round(dot/(na*nb), 4) AS cos FROM p
             ORDER BY dot/(na*nb) DESC, vec_id LIMIT 10""",
+        "ppl_score": _ppl_oracle(tiers=False),
+        "ppl_tiers": _ppl_oracle(tiers=True),
         "quality_score": f"""
             WITH t AS (SELECT doc_id, lang, text, {TOK_DD} AS tokens FROM documents)
             SELECT doc_id, lang, len(tokens)::BIGINT AS n_tokens,

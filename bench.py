@@ -46,6 +46,7 @@ HEADLINE = [
     "web_clean_corpus",
     "dsir_select",
     "semdedup",
+    "ppl_score",
     "pricing_summary",
     "join_revenue_topk",
 ]

@@ -1207,3 +1207,71 @@ def test_semdedup_portable_matches_fast_on_gaussian(spark):
     assert {(v, w) for v, _c, w in fast} == set(
         _semdedup_python_oracle(rows, C, 0.35).items()
     )
+
+
+def test_ppl_score_python_recompute_and_tiers(spark):
+    """CCNet-style perplexity: the Spark hashed-bigram LM equals a pure
+    hashlib/math recompute on a tiny corpus; reference-like text scores
+    LOWER perplexity than gibberish; bigram-less docs get NULL ppl and
+    tier 'tail'; tier CASE respects explicit cuts."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from joie_spark.pipeline import perplexity as P
+
+    refs = [
+        "the cat sat on the mat and the dog sat on the rug",
+        "a cat and a dog sat on the mat near the door",
+        "the dog and the cat ran to the door of the house",
+    ]
+    pool = [
+        (0, "the cat sat on the mat and the dog ran to the door"),
+        (1, "zxq vvw qqj kkx pzl woq jjr mnb zzt yyu"),
+        (2, "cat"),  # no bigrams
+    ]
+    ref_df = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(refs)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(pool, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["ppl"])
+        for r in P.ppl_score(docs, ref_df).collect()
+    }
+
+    def toks(s):
+        return re.findall(r"[a-z0-9]+", s.lower())
+
+    def bkt(salt, g, mod):
+        return int(hashlib.md5(f"{salt}:{g}".encode()).hexdigest()[:15], 16) % mod
+
+    uni = Counter(bkt("ppl1", w, P.UNI_BUCKETS) for t in refs for w in toks(t))
+    bi = Counter(
+        bkt("ppl2", f"{a} {b}", P.BI_BUCKETS)
+        for t in refs
+        for a, b in zip(toks(t), toks(t)[1:])
+    )
+    for doc_id, text in pool:
+        t = toks(text)
+        lps = [
+            math.log(bi[bkt("ppl2", f"{a} {b}", P.BI_BUCKETS)] + 1)
+            - math.log(uni[bkt("ppl1", a, P.UNI_BUCKETS)] + P.BI_BUCKETS)
+            for a, b in zip(t, t[1:])
+        ]
+        want = (
+            (len(lps), round(math.exp(-sum(lps) / len(lps)), 4))
+            if lps
+            else (0, None)
+        )
+        assert got[doc_id] == want, doc_id
+
+    assert got[0][1] < got[1][1]  # reference-like beats gibberish
+
+    tiers = {
+        r["doc_id"]: r["tier"]
+        for r in P.ppl_tiers(
+            P.ppl_score(docs, ref_df), got[0][1] + 1, got[1][1] - 1
+        ).collect()
+    }
+    assert tiers == {0: "head", 1: "tail", 2: "tail"}
