@@ -516,6 +516,17 @@ def q_dsir_select(spark, sf_dir):
     return importance.dsir_select(pool, tgt, k=100, n_buckets=256)
 
 
+def q_dsir_select_fast(spark, sf_dir):  # rows-only (xxhash64 buckets
+    # aren't SQL-portable; the md5 twin q_dsir_select above is the fully
+    # VALUE-oracled same pipeline, and test_dsir_fast_hash_selects_like_
+    # portable pins this path's selection behavior) — the benched
+    # production-hash shape
+    docs = _docs(spark, sf_dir)
+    tgt = docs.where(F.col("doc_id") % 31 == 0)
+    pool = docs.where(F.col("doc_id") % 31 != 0)
+    return importance.dsir_select(pool, tgt, k=100, n_buckets=256, portable=False)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concat-and-chunk packing assignment (pipeline/packing.py
     pack_sequences): exact global token prefix-sum via the two-phase
@@ -893,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_clean_corpus": q_web_clean_corpus,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
+        "dsir_select_fast": q_dsir_select_fast,
         "pack_sequences": q_pack_sequences,
         "pack_manifest": q_pack_manifest,
         "select_by_budget": q_select_by_budget,

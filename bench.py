@@ -44,7 +44,7 @@ HEADLINE = [
     "clean_corpus_lsh",
     "gopher_filter",
     "web_clean_corpus",
-    "dsir_select",
+    "dsir_select_fast",
     "semdedup",
     "ppl_score",
     "pricing_summary",

@@ -72,24 +72,36 @@ def _grams(docs: DataFrame, ns: tuple[int, ...] = (1, 2)) -> DataFrame:
     return d.select("doc_id", F.explode(F.expr(grams)).alias("g"))
 
 
-def bucket_of(col: Column, n_buckets: int, salt: str = "dsir") -> Column:
-    """Deterministic bucket in [0, n_buckets): top 60 bits of
+def bucket_of(
+    col: Column, n_buckets: int, salt: str = "dsir", portable: bool = True
+) -> Column:
+    """Deterministic bucket in [0, n_buckets).
+
+    portable=True (default, every driver-oracled entry): top 60 bits of
     md5(salt ':' gram) mod B — identical expression in DuckDB
-    (('0x' || substr(md5(..), 1, 15))::BIGINT % B)."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + ":"), col)), 1, 15), 16, 10
-    ).cast("long")
-    return (h % n_buckets).alias("bucket")
+    (('0x' || substr(md5(..), 1, 15))::BIGINT % B).
+    portable=False: pmod(xxhash64(salt ':' gram), B) — the JVM-native
+    production hash (same fast/portable split as dedup._hash64_sql; the
+    fast path gets rows-only driver checks, its statistics are pinned to
+    the portable twin by the pipeline pytests)."""
+    tagged = F.concat(F.lit(salt + ":"), col)
+    if portable:
+        h = F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("long")
+        return (h % n_buckets).alias("bucket")
+    return F.pmod(F.xxhash64(tagged), F.lit(n_buckets)).alias("bucket")
 
 
 def bucket_counts(
-    docs: DataFrame, n_buckets: int = 1024, ns: tuple[int, ...] = (1, 2)
+    docs: DataFrame,
+    n_buckets: int = 1024,
+    ns: tuple[int, ...] = (1, 2),
+    portable: bool = True,
 ) -> DataFrame:
     """(bucket, c): hashed-gram occurrence counts — B rows, the
     bag-of-hashed-ngrams model of one side."""
     return (
         _grams(docs, ns)
-        .select(bucket_of(F.col("g"), n_buckets))
+        .select(bucket_of(F.col("g"), n_buckets, portable=portable))
         .groupBy("bucket")
         .agg(F.count("*").cast("long").alias("c"))
     )
@@ -100,13 +112,14 @@ def bucket_log_ratio(
     raw: DataFrame,
     n_buckets: int = 1024,
     ns: tuple[int, ...] = (1, 2),
+    portable: bool = True,
 ) -> DataFrame:
     """(bucket, log_ratio): ln p_target(b) - ln p_raw(b) with add-one
     (Laplace) smoothing over the B-bucket vocabulary, for ALL B buckets
     (unseen buckets get the smoothed floor on both sides).  B rows —
     always broadcastable."""
-    t = bucket_counts(target, n_buckets, ns)
-    r = bucket_counts(raw, n_buckets, ns)
+    t = bucket_counts(target, n_buckets, ns, portable=portable)
+    r = bucket_counts(raw, n_buckets, ns, portable=portable)
     full = (
         raw.sparkSession.range(n_buckets)
         .select(F.col("id").alias("bucket"))
@@ -140,6 +153,7 @@ def importance_weights(
     target: DataFrame,
     n_buckets: int = 1024,
     ns: tuple[int, ...] = (1, 2),
+    portable: bool = True,
 ) -> DataFrame:
     """(doc_id, n_grams, log_w, avg_log_w): per-document DSIR importance
     weight over `docs` (the raw pool), targeting `target`'s hashed-gram
@@ -147,10 +161,10 @@ def importance_weights(
     `avg_log_w` (= log_w / n_grams, 0.0 for gram-less docs) is the
     length-debiased variant selection uses.  Rounded to 4 decimals for
     oracle portability (see module docstring)."""
-    ratio = bucket_log_ratio(target, docs, n_buckets, ns)
+    ratio = bucket_log_ratio(target, docs, n_buckets, ns, portable=portable)
     per_doc = (
         _grams(docs, ns)
-        .select("doc_id", bucket_of(F.col("g"), n_buckets))
+        .select("doc_id", bucket_of(F.col("g"), n_buckets, portable=portable))
         .join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")
         .agg(
@@ -182,6 +196,7 @@ def dsir_select(
     k: int,
     n_buckets: int = 1024,
     ns: tuple[int, ...] = (1, 2),
+    portable: bool = True,
 ) -> DataFrame:
     """The k raw-pool documents most target-like by mean log importance
     weight (deterministic: avg_log_w DESC, doc_id ASC tiebreak).
@@ -189,7 +204,7 @@ def dsir_select(
     its local top-k to the driver-side heap, never a global sort."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    w = importance_weights(docs, target, n_buckets, ns)
+    w = importance_weights(docs, target, n_buckets, ns, portable=portable)
     return (
         docs.join(w, "doc_id")
         .orderBy(F.col("avg_log_w").desc(), F.col("doc_id"))

@@ -993,6 +993,34 @@ def test_dsir_planted_matches_python_recompute(spark):
         importance.dsir_select(pool, tgt, k=0)
 
 
+def test_dsir_fast_hash_selects_like_portable(spark):
+    """The xxhash64 production-hash path (portable=False) must preserve
+    DSIR's selection behavior even though its bucket ids differ from the
+    md5 twin: with enough buckets that planted target-like and gibberish
+    vocabularies don't collide, both hashes pick exactly the target-like
+    pool docs, in the same order."""
+    from joie_spark.pipeline import importance
+
+    schema = "doc_id long, text string, source string"
+    tgt = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta alpha beta", "t") for i in range(4)],
+        schema,
+    )
+    pool_rows = [(i, "alpha beta gamma delta", "s") for i in range(3)] + [
+        (10 + i, f"zz{i}q ww{i}j vv{i}k uu{i}x", "s") for i in range(5)
+    ]
+    pool = spark.createDataFrame(pool_rows, schema)
+
+    picks = {}
+    for portable in (True, False):
+        sel = importance.dsir_select(
+            pool, tgt, k=3, n_buckets=4096, portable=portable
+        ).collect()
+        picks[portable] = [r["doc_id"] for r in sel]
+        assert set(picks[portable]) == {0, 1, 2}, portable
+    assert picks[True] == picks[False]
+
+
 def test_dsir_plan_broadcasts_ratio_and_take_ordered(spark):
     """The per-doc weight join broadcasts the B-row log-ratio table (the
     corpus-sized gram side is never sort-merge-joined), and dsir_select
