@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from .decontaminate import contamination_hits
 from .dedup import deduped_corpus
 from .sampling import with_split
-from .text import with_tokens
+from .text import ngram_array, with_tokens
 
 
 def clean_corpus(
@@ -53,11 +53,7 @@ def clean_corpus(
     """
     d = with_tokens(docs)
     n_tok = F.size("tokens")
-    g2 = F.expr(
-        "CASE WHEN size(tokens) < 2 THEN array()"
-        " ELSE transform(sequence(0, size(tokens) - 2),"
-        " i -> concat_ws(' ', slice(tokens, i + 1, 2))) END"
-    )
+    g2 = ngram_array(2)
     n_g2 = F.size(g2)
     dup2 = F.round(
         F.when(

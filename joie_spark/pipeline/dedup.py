@@ -40,16 +40,13 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document (JVM-side transform)."""
+    """Distinct word n-gram shingles per document (JVM-side, the shared
+    zip_with-chain gram shape — text.ngram_sql)."""
+    from .text import ngram_array
+
     return docs.select(
         "doc_id",
-        F.array_distinct(
-            F.expr(
-                f"CASE WHEN size(tokens) < {n} THEN array()"
-                f" ELSE transform(sequence(0, size(tokens) - {n}),"
-                f" i -> concat_ws(' ', slice(tokens, i + 1, {n}))) END"
-            )
-        ).alias("shingles"),
+        F.array_distinct(ngram_array(n)).alias("shingles"),
     )
 
 

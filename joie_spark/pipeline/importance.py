@@ -44,30 +44,13 @@ from .text import with_tokens
 
 
 def _grams(docs: DataFrame, ns: tuple[int, ...] = (1, 2)) -> DataFrame:
-    """(doc_id, g): word n-gram occurrences (not distinct), JVM-side.
+    """(doc_id, g): word n-gram occurrences (not distinct), JVM-side —
+    the shared zip_with-chain gram shape (text.ngram_sql; n=1 is the
+    token array itself)."""
+    from .text import ngram_sql
 
-    n=1 is the token array itself (no per-token slice/copy) and n=2 is a
-    zip_with over the two shifted views — measured ~1.8x faster than the
-    generic transform(sequence -> slice -> concat_ws) shape at sf0.1;
-    n>=3 falls back to the generic shape (unused by DSIR defaults)."""
     d = with_tokens(docs)
-    parts = []
-    for n in ns:
-        if n == 1:
-            parts.append("tokens")
-        elif n == 2:
-            parts.append(
-                "CASE WHEN size(tokens) < 2 THEN array()"
-                " ELSE zip_with(slice(tokens, 1, size(tokens) - 1),"
-                " slice(tokens, 2, size(tokens) - 1),"
-                " (a, b) -> concat(a, ' ', b)) END"
-            )
-        else:
-            parts.append(
-                f"CASE WHEN size(tokens) < {n} THEN array()"
-                f" ELSE transform(sequence(0, size(tokens) - {n}),"
-                f" i -> concat_ws(' ', slice(tokens, i + 1, {n}))) END"
-            )
+    parts = [ngram_sql(n) for n in ns]
     grams = parts[0] if len(parts) == 1 else f"concat({', '.join(parts)})"
     return d.select("doc_id", F.explode(F.expr(grams)).alias("g"))
 

@@ -123,13 +123,33 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+def ngram_sql(n: int, tokens_col: str = "tokens") -> str:
+    """Token n-grams as space-joined strings — SQL text (shared by every
+    gram-producing operator and by importance._grams' concat form).
+
+    n=1 is the token array itself (zero copies).  n>=2 builds the grams
+    as a chain of zip_with over n shifted bulk-slice views — measured
+    ~10x faster at sf0.1 than the naive transform(sequence -> slice ->
+    concat_ws) shape, whose per-position slice() allocates an n-element
+    array PER GRAM (that shape made the composed cleaning gate the
+    slowest entry in the whole bench before this change).  Values and
+    order are identical to the naive shape: position order, single-space
+    joins."""
+    if n == 1:
+        return tokens_col
+    m = f"size({tokens_col}) - {n - 1}"
+    acc = f"slice({tokens_col}, 1, {m})"
+    for i in range(2, n + 1):
+        acc = (
+            f"zip_with({acc}, slice({tokens_col}, {i}, {m}),"
+            f" (a, b) -> concat(a, ' ', b))"
+        )
+    return f"CASE WHEN size({tokens_col}) < {n} THEN array() ELSE {acc} END"
+
+
 def ngram_array(n: int, tokens_col: str = "tokens") -> Column:
     """Token n-grams as space-joined strings (array column, codegen)."""
-    return F.expr(
-        f"CASE WHEN size({tokens_col}) < {n} THEN array()"
-        f" ELSE transform(sequence(0, size({tokens_col}) - {n}),"
-        f" i -> concat_ws(' ', slice({tokens_col}, i + 1, {n}))) END"
-    )
+    return F.expr(ngram_sql(n, tokens_col))
 
 
 def top_ngram_share(docs: DataFrame, n: int = 2) -> DataFrame:

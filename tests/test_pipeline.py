@@ -1303,3 +1303,36 @@ def test_ppl_score_python_recompute_and_tiers(spark):
         ).collect()
     }
     assert tiers == {0: "head", 1: "tail", 2: "tail"}
+
+
+def test_ngram_zipwith_chain_matches_naive_shape(spark):
+    """ngram_sql's zip_with-chain grams must be value- and order-identical
+    to the naive transform(sequence -> slice -> concat_ws) shape it
+    replaced, including the short-document empty-array edge."""
+    from joie_spark.pipeline.text import ngram_sql
+
+    rows = [
+        (0, ["a"]),
+        (1, []),
+        (2, ["a", "b"]),
+        (3, ["a", "b", "c", "d", "e"]),
+        (4, ["x", "x", "x"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    for n in (2, 3, 4):
+        naive = (
+            f"CASE WHEN size(tokens) < {n} THEN array()"
+            f" ELSE transform(sequence(0, size(tokens) - {n}),"
+            f" i -> concat_ws(' ', slice(tokens, i + 1, {n}))) END"
+        )
+        got = {
+            r["doc_id"]: r["g"]
+            for r in df.select(
+                "doc_id", F.expr(ngram_sql(n)).alias("g")
+            ).collect()
+        }
+        want = {
+            r["doc_id"]: r["g"]
+            for r in df.select("doc_id", F.expr(naive).alias("g")).collect()
+        }
+        assert got == want, n
