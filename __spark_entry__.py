@@ -37,6 +37,7 @@ import joie_spark.pipeline.importance as importance
 import joie_spark.pipeline.perplexity as perplexity
 import joie_spark.pipeline.semdedup as semdedup
 import joie_spark.pipeline.text as text
+import joie_spark.pipeline.vocab as vocab
 import joie_spark.pipeline.web as web
 
 TOK = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"  # spark
@@ -460,6 +461,24 @@ def q_top_ngram_share(spark, sf_dir):
     doc_id-keyed shuffles with map-side partial agg; count-based share
     so top-count ties cannot make the value nondeterministic."""
     return text.top_ngram_share(_docs(spark, sf_dir), n=2)
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Top-100 vocabulary with cumulative token coverage
+    (pipeline/vocab.py vocab_coverage) — tokenizer-training prep: one
+    term-keyed partial-agg shuffle, TakeOrdered top-V cut, running-sum
+    window over exactly V rows, corpus token total as a 1-row
+    broadcast."""
+    return vocab.vocab_coverage(_docs(spark, sf_dir), v=100)
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (pipeline/vocab.py tfidf_topk):
+    tf/df from a single tokenize pass, term-keyed equi-join, per-doc
+    rank window bounded by one document's distinct terms.  Ranked on
+    the 4-decimal-rounded score with term-ASC tiebreak so the order is
+    engine-reproducible."""
+    return vocab.tfidf_topk(_docs(spark, sf_dir), k=3)
 
 
 def q_web_stats(spark, sf_dir):
@@ -899,6 +918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "mixture_sample": q_mixture_sample,
         "top_ngram_share": q_top_ngram_share,
+        "vocab_coverage": q_vocab_coverage,
+        "tfidf_topk": q_tfidf_topk,
         "web_stats": q_web_stats,
         "boilerplate_lines": q_boilerplate_lines,
         "web_clean_corpus": q_web_clean_corpus,
@@ -1648,6 +1669,38 @@ def oracle_sql() -> dict[str, str]:
                               THEN top_count::DOUBLE / n_grams
                               ELSE 0 END, 4) AS top_share
             FROM documents d LEFT JOIN pd USING (doc_id)""",
+        "vocab_coverage": f"""
+            WITH tok AS (SELECT doc_id, unnest({TOK_DD}) AS term
+                         FROM documents),
+            tdf AS (SELECT term, count(*)::BIGINT AS cf,
+                           count(DISTINCT doc_id)::BIGINT AS df
+                    FROM tok GROUP BY term),
+            tot AS (SELECT sum(cf)::DOUBLE AS t FROM tdf),
+            top AS (SELECT term, cf, df FROM tdf
+                    ORDER BY cf DESC, term LIMIT 100)
+            SELECT row_number() OVER (ORDER BY cf DESC, term)::BIGINT
+                     AS rank,
+                   term, cf, df,
+                   round((sum(cf) OVER (ORDER BY cf DESC, term))::DOUBLE
+                         / (SELECT t FROM tot), 4) AS coverage
+            FROM top""",
+        "tfidf_topk": f"""
+            WITH tok AS (SELECT doc_id, unnest({TOK_DD}) AS term
+                         FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM tok GROUP BY doc_id, term),
+            dft AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                    GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n
+                  FROM documents),
+            s AS (SELECT doc_id, term, tf, df,
+                         round(tf::DOUBLE * ln((n.n + 1.0)
+                               / (df::DOUBLE + 1.0)), 4) AS score
+                  FROM tf JOIN dft USING (term), n),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term)::BIGINT AS rank FROM s)
+            SELECT doc_id, rank, term, tf, df, score
+            FROM r WHERE rank <= 3""",
         "web_stats": _web_stats_oracle(),
         "boilerplate_lines": """
             WITH l AS (SELECT doc_id, source, trim(x.l) AS line

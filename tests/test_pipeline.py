@@ -1336,3 +1336,55 @@ def test_ngram_zipwith_chain_matches_naive_shape(spark):
             for r in df.select("doc_id", F.expr(naive).alias("g")).collect()
         }
         assert got == want, n
+
+
+def test_vocab_coverage_planted(spark):
+    """Hand-computed coverage curve over a tiny planted corpus, plus the
+    rank/tiebreak contract (cf DESC, term ASC)."""
+    from joie_spark.pipeline.vocab import vocab_coverage
+
+    rows = [
+        (0, "apple apple apple banana"),
+        (1, "apple banana cherry"),
+        (2, "banana banana date"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["rank"], r["term"], r["cf"], r["df"], r["coverage"])
+        for r in vocab_coverage(df, v=3).orderBy("rank").collect()
+    ]
+    # cf: apple 4 (df 2), banana 4 (df 3), cherry 1, date 1; total 10
+    assert got == [
+        (1, "apple", 4, 2, 0.4),
+        (2, "banana", 4, 3, 0.8),
+        (3, "cherry", 1, 1, 0.9),
+    ]
+
+
+def test_tfidf_topk_planted(spark):
+    """TF-IDF scores and per-doc ranking vs a pure-Python computation,
+    including the min_df cutoff."""
+    import math
+
+    from joie_spark.pipeline.vocab import tfidf_topk
+
+    rows = [
+        (0, "common rare rare"),
+        (1, "common shared"),
+        (2, "common shared other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"], r["score"])
+        for r in tfidf_topk(df, k=2).collect()
+    }
+    n = 3.0
+    idf = lambda d: math.log((n + 1.0) / (d + 1.0))
+    assert got[(0, 1)] == ("rare", 2, 1, round(2 * idf(1), 4))
+    assert got[(0, 2)] == ("common", 1, 3, round(1 * idf(3), 4))
+    assert got[(1, 1)] == ("shared", 1, 2, round(1 * idf(2), 4))
+    # min_df=2 drops every df=1 term from the IDF table
+    kept = {
+        r["term"] for r in tfidf_topk(df, k=3, min_df=2).collect()
+    }
+    assert kept == {"common", "shared"}
