@@ -37,6 +37,7 @@ import joie_spark.pipeline.importance as importance
 import joie_spark.pipeline.perplexity as perplexity
 import joie_spark.pipeline.semdedup as semdedup
 import joie_spark.pipeline.text as text
+import joie_spark.pipeline.bpe as bpe
 import joie_spark.pipeline.vocab as vocab
 import joie_spark.pipeline.web as web
 
@@ -481,6 +482,32 @@ def q_tfidf_topk(spark, sf_dir):
     return vocab.tfidf_topk(_docs(spark, sf_dir), k=3)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training (pipeline/bpe.py train_bpe): merges
+    learned over the corpus word-frequency table — distributed part is
+    one partial-agg word count capped by top_words; the merge loop is
+    driver-side over that bounded dict.  Iterative trainer => no SQL
+    oracle (driver contract's documented exception); the merge sequence
+    incl. tie-breaks is pinned against a hand-computed reference in
+    tests/test_pipeline.py."""
+    return bpe.train_bpe(_docs(spark, sf_dir), n_merges=50, top_words=5000)
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Corpus token counts under the trained BPE tokenizer
+    (pipeline/bpe.py bpe_encode): Arrow-batched pandas UDF with merge
+    ranks in the closure and a per-batch distinct-word memo — the
+    documented iterative slow path; counts pinned to a pure-Python
+    per-word reference in tests/test_pipeline.py."""
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe.train_bpe(
+            _docs(spark, sf_dir), n_merges=50, top_words=5000
+        ).collect()
+    ]
+    return bpe.bpe_encode(_docs(spark, sf_dir), merges)
+
+
 def q_web_stats(spark, sf_dir):
     """C4-style web-cleaning signals (pipeline/text.py web_stats):
     URL density, bullet/ellipsis/terminal-punct line fractions,
@@ -920,6 +947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngram_share": q_top_ngram_share,
         "vocab_coverage": q_vocab_coverage,
         "tfidf_topk": q_tfidf_topk,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "web_stats": q_web_stats,
         "boilerplate_lines": q_boilerplate_lines,
         "web_clean_corpus": q_web_clean_corpus,

@@ -1388,3 +1388,68 @@ def test_tfidf_topk_planted(spark):
         r["term"] for r in tfidf_topk(df, k=3, min_df=2).collect()
     }
     assert kept == {"common", "shared"}
+
+
+def test_bpe_train_matches_hand_computed_merges(spark):
+    """Sennrich-style corpus: merge sequence hand-computed, including the
+    deterministic lexicographic tie-break on equal pair counts."""
+    from joie_spark.pipeline import bpe
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe.train_bpe(docs, n_merges=5, top_words=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [
+        (1, "e", "s", 9),
+        (2, "es", "t", 9),
+        (3, "est", "</w>", 9),
+        (4, "l", "o", 7),
+        (5, "lo", "w", 7),
+    ]
+
+
+def test_bpe_encode_matches_per_word_reference(spark):
+    """bpe_encode's distributed counts equal a pure-Python per-word
+    application of the same merges; 0 merges degrade to chars+marker."""
+    from joie_spark.pipeline import bpe
+
+    train_text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    train = spark.createDataFrame([(0, train_text)], "doc_id long, text string")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe.train_bpe(train, n_merges=5, top_words=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert bpe.encode_word("lowest", ranks) == ["low", "est</w>"]
+
+    docs = spark.createDataFrame(
+        [(0, "lowest newest"), (1, "low low widest"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe.bpe_encode(docs, merges).collect()
+    }
+    def ref(text):
+        ws = text.split()
+        return (
+            len(ws),
+            sum(len(bpe.encode_word(w, ranks)) for w in ws),
+        )
+    assert got == {0: ref("lowest newest"), 1: ref("low low widest"), 2: (0, 0)}
+
+    zero = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe.bpe_encode(docs, []).collect()
+    }
+    assert zero[1] == len("lowlowwidest") + 3  # chars + one marker per word
