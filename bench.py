@@ -45,6 +45,8 @@ HEADLINE = [
     "gopher_filter",
     "web_clean_corpus",
     "dsir_select_fast",
+    "tfidf_topk",
+    "bpe_encode",
     "semdedup",
     "ppl_score",
     "pricing_summary",
