@@ -409,28 +409,63 @@ def simhash_neardup_pairs(
     return out
 
 
-def duplicate_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+def _union_find_clusters(rows) -> dict:
+    """Min-label union-find over (a, b) edge rows: root of every union is
+    the smaller id, so each component's final root IS its min member."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def duplicate_clusters(
+    pairs: DataFrame, max_iter: int = 10, driver_max_pairs: int = 2_000_000
+) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id),
     cluster_id = min doc_id of the component (the canonical keeper).
 
     A dedup pipeline needs CLUSTERS, not pairs: keep cluster_id == doc_id,
-    drop the rest.  Algorithm: iterative min-label propagation (the
-    standard shuffle-based connected components, à la GraphFrames/Pregel) —
-    each round is one join + one groupBy-min, converging in O(component
-    diameter) rounds; near-dup components are shallow (diameter ≤ ~4), so
-    max_iter=10 is generous.  Lineage is cut per round (localCheckpoint)
-    so plans don't snowball; rounds stop early at fixpoint (the `changed`
-    count is a tiny 1-row-per-partition action).
+    drop the rest.
 
-    The pair source is consumed ONCE into a persisted symmetric edge
-    list before iterating: every round joins the edges, and an
-    unpersisted edge frame would re-execute the whole upstream pair
-    PIPELINE (banded LSH + exact verify — a full corpus scan) once per
-    round — measured as the dominant cost of the composed cleaning
-    pipeline at sf0.1, and O(rounds) corpus scans at 100 TB.  Edges are
-    near-dup-count-sized (far smaller than the corpus), so persisting
-    them is cheap; the cache is released before returning (the result's
-    lineage is cut by the final localCheckpoint)."""
+    Two physical paths behind one contract:
+
+    * **Driver union-find** when the materialized pair count is ≤
+      ``driver_max_pairs``: one collect + pure-Python path-compressed
+      union-find.  This is NOT a scale cheat — every consumer of the
+      cluster map already assumes it is broadcast-size (deduped_corpus /
+      cluster_safe_split ship it back as a broadcast join), so a pair
+      set small enough to broadcast is small enough to collect; 2M pairs
+      ≈ 32 MB of driver state.  It replaces ~8–10 fixed-latency Spark
+      jobs (per-round join + groupBy + checkpoint + fixpoint count) with
+      ONE job — measured as the dominant latency of the composed
+      cleaning pipeline at sf0.1.
+    * **Iterative min-label propagation** above the threshold (the
+      standard shuffle-based connected components, à la
+      GraphFrames/Pregel): each round is one join + one groupBy-min,
+      converging in O(component diameter) rounds; near-dup components
+      are shallow (diameter ≤ ~4), so max_iter=10 is generous.  Lineage
+      is cut per round (localCheckpoint) so plans don't snowball; rounds
+      stop early at fixpoint (the `changed` count is a tiny
+      1-row-per-partition action).
+
+    Either way the pair source is consumed ONCE into a persisted
+    symmetric edge list first: the routing count, the collect, and every
+    propagation round all read the cache, and an unpersisted edge frame
+    would re-execute the whole upstream pair PIPELINE (banded LSH +
+    exact verify — a full corpus scan) per consumer — measured as the
+    previous dominant cost at sf0.1, and O(rounds) corpus scans at
+    100 TB.  The cache is released before returning (the result's
+    lineage is cut by the final localCheckpoint / createDataFrame)."""
     edges = pairs.select("a", "b")
     sym = (
         edges.unionByName(
@@ -439,6 +474,28 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         .toDF("src", "dst")
         .persist()
     )
+    n_pairs = sym.count() // 2
+    if n_pairs <= driver_max_pairs:
+        try:
+            labels = _union_find_clusters(
+                (r["src"], r["dst"])
+                for r in sym.where(F.col("src") < F.col("dst")).collect()
+            )
+        finally:
+            sym.unpersist()
+        id_type = edges.schema["a"].dataType
+        spark = pairs.sparkSession
+        from pyspark.sql.types import StructField, StructType
+
+        return spark.createDataFrame(
+            list(labels.items()),
+            StructType(
+                [
+                    StructField("doc_id", id_type, False),
+                    StructField("cluster_id", id_type, False),
+                ]
+            ),
+        )
     try:
         labels = (
             sym.select(F.col("src").alias("v"))

@@ -238,9 +238,11 @@ def test_duplicate_clusters_match_union_find(spark):
     canonical labels), including a chain (transitive closure) component."""
     pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (4, 5)]
     df = spark.createDataFrame(pairs, "a long, b long")
+    # driver_max_pairs=0 forces the distributed propagation path — the
+    # driver fast path IS a union-find, comparing it to one is circular
     got = {
         r["doc_id"]: r["cluster_id"]
-        for r in dedup.duplicate_clusters(df).collect()
+        for r in dedup.duplicate_clusters(df, driver_max_pairs=0).collect()
     }
 
     parent: dict[int, int] = {}
@@ -267,13 +269,37 @@ def test_duplicate_clusters_raises_when_not_converged(spark):
     chain = [(i, i + 1) for i in range(1, 30)]  # diameter ≈ 29
     df = spark.createDataFrame(chain, "a long, b long")
     with pytest.raises(RuntimeError, match="converge"):
-        dedup.duplicate_clusters(df, max_iter=2)
+        dedup.duplicate_clusters(df, max_iter=2, driver_max_pairs=0)
     # generous budget converges and is correct
     got = {
         r["doc_id"]: r["cluster_id"]
-        for r in dedup.duplicate_clusters(df, max_iter=30).collect()
+        for r in dedup.duplicate_clusters(
+            df, max_iter=30, driver_max_pairs=0
+        ).collect()
     }
     assert set(got.values()) == {1}
+
+
+def test_duplicate_clusters_driver_path_equals_distributed(spark):
+    """The driver union-find fast path and the distributed propagation
+    path are the same contract: identical (doc_id, cluster_id) maps on a
+    graph with chains, a triangle, and singleton-free isolates."""
+    pairs = (
+        [(i, i + 1) for i in range(1, 8)]      # chain 1..8
+        + [(50, 51), (51, 52), (50, 52)]       # triangle
+        + [(100, 200)]
+    )
+    df = spark.createDataFrame(pairs, "a long, b long")
+    fast = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.duplicate_clusters(df).collect()  # routes to driver
+    }
+    dist = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.duplicate_clusters(df, driver_max_pairs=0).collect()
+    }
+    assert fast == dist
+    assert ({r for r in fast if r[0] == 8} == {(8, 1)})
 
 
 def test_add_signatures_empty_input_clear_error(spark):
