@@ -143,6 +143,65 @@ def q_phrase_adjacency(spark, sf_dir):
     return m.where(adj).select("doc_id")
 
 
+def q_near_window(spark, sf_dir):
+    """Proximity query NEAR(fast, slow, 2) — operators/query.py PNear
+    (builder-only extension: |p_a − p_b| ≤ slop within one turn/doc).
+    Same candidate shape as phrase adjacency (per-term position arrays,
+    exists() predicate — pure codegen, no UDF); the engine twin is pinned
+    rank-identical to the Python oracle in tests/test_near_prefix.py."""
+    docs = _docs(spark, sf_dir).withColumn("tokens", text.sql_tokens())
+    pos = docs.select(
+        "doc_id", F.posexplode("tokens").alias("p", "term")
+    ).where(F.col("term").isin(["fast", "slow"]))
+    per_term = pos.groupBy("doc_id", "term").agg(
+        F.sort_array(F.collect_list("p")).alias("ps")
+    )
+    m = per_term.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "ps"))).alias("pm"),
+        F.count("*").alias("nt"),
+    ).where(F.col("nt") == 2)
+    near = F.exists(
+        F.element_at("pm", F.lit("fast")),
+        lambda p: F.exists(
+            F.element_at("pm", F.lit("slow")),
+            lambda q: (q != p) & (F.abs(q - p) <= F.lit(2)),
+        ),
+    )
+    return m.where(near).select("doc_id")
+
+
+def q_prefix_bm25(spark, sf_dir):
+    """Wildcard term query `s*` scored with full BM25 over its expansion
+    (operators/query.py Index.expand_prefix → PKeywords; Lucene's
+    MultiTermQuery rewrite).  The expansion here is the predicate
+    `startswith('s')` on the exploded term column — the driver-plan
+    mirror of the dictionary StringStartsWith pushdown."""
+    docs = _docs(spark, sf_dir).withColumn("tokens", text.sql_tokens()).cache()
+    tok = docs.select("doc_id", F.explode("tokens").alias("term"))
+    dl = docs.select("doc_id", F.size("tokens").cast("long").alias("dl"))
+    st = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n, avgdl = st["n"], st["avgdl"]
+    tf = (
+        tok.where(F.col("term").startswith("s"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    j = tf.join(dfc, "term").join(dl, "doc_id")
+    contrib = (
+        F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * F.lit(2.2))
+        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(F.sum(contrib).alias("s"))
+        .select("doc_id", F.round("s", 4).alias("score"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def q_bm25_topk(spark, sf_dir):
     """Flagship: BM25 top-10 with the engine's scoring expression.
 
@@ -923,6 +982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_or": q_keyword_or,
         "and_intersect": q_and_intersect,
         "phrase_adjacency": q_phrase_adjacency,
+        "near_window": q_near_window,
+        "prefix_bm25": q_prefix_bm25,
         "bm25_topk": q_bm25_topk,
         "bm25_batch": q_bm25_batch,
         "union_dedup": q_union_dedup,
@@ -1477,6 +1538,31 @@ def oracle_sql() -> dict[str, str]:
         "phrase_adjacency": f"""
             SELECT doc_id FROM documents
             WHERE contains(' ' || array_to_string({TOK_DD}, ' ') || ' ', ' fast table ')""",
+        "near_window": f"""
+            WITH tok AS (SELECT doc_id, {TOK_DD} AS ts FROM documents),
+            pos AS (SELECT doc_id, unnest(ts) AS term,
+                           generate_subscripts(ts, 1) AS p FROM tok)
+            SELECT DISTINCT a.doc_id AS doc_id
+            FROM pos a JOIN pos b USING (doc_id)
+            WHERE a.term = 'fast' AND b.term = 'slow'
+              AND a.p != b.p AND abs(a.p - b.p) <= 2""",
+        "prefix_bm25": f"""
+            WITH tok AS (SELECT doc_id, unnest({TOK_DD}) AS term FROM documents),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+            st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+                   WHERE term LIKE 's%' GROUP BY doc_id, term),
+            dfc AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+            SELECT tf.doc_id AS doc_id,
+                   round(sum(ln(1.0 + (st.n - dfc.df + 0.5)/(dfc.df + 0.5))
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl))), 4) AS score
+            FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+            GROUP BY tf.doc_id
+            ORDER BY sum(ln(1.0 + (st.n - dfc.df + 0.5)/(dfc.df + 0.5))
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl))) DESC, tf.doc_id
+            LIMIT 10""",
         "bm25_topk": f"""
             WITH tok AS (SELECT doc_id, unnest({TOK_DD}) AS term FROM documents),
             dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),

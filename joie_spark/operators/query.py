@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..oracle import B, K1, bm25_idf
-from ..plans.parser import And, Expr, Literal, Or, parse_query
+from ..plans.parser import And, Expr, Literal, Near, Or, Prefix, parse_query
 from ..sources.tables import read_stats, table_path
 from ..tokenizer import tokenize_terms
 
@@ -72,6 +72,19 @@ class PKeywords(PNode):
 
 
 @dataclass(frozen=True)
+class PNear(PNode):
+    """Positional proximity: both terms in one turn with some position
+    pair within `slop` (plans/parser.py Near).  Rides the phrase
+    machinery — same candidate groupBy (incl. rarest-term-first seeding),
+    different position predicate."""
+
+    lhs: int
+    rhs: int
+    slop: int
+    ordered: bool
+
+
+@dataclass(frozen=True)
 class PAnd(PNode):
     children: tuple[PNode, ...]
 
@@ -81,8 +94,18 @@ class POr(PNode):
     children: tuple[PNode, ...]
 
 
-def lower(expr: Expr, term_of: dict[str, int], optimize: bool = True) -> PNode:
-    """AST → physical plan with the reference's rewrites."""
+def lower(
+    expr: Expr,
+    term_of: dict[str, int],
+    optimize: bool = True,
+    prefix_ids: dict[str, tuple[int, ...]] | None = None,
+) -> PNode:
+    """AST → physical plan with the reference's rewrites.
+
+    `prefix_ids` maps each Prefix node's text to its dictionary
+    expansion (Index.expand_prefix) — a Prefix lowers to the SAME
+    PKeywords scan a hand-written OR of the expanded terms would
+    (Lucene's MultiTermQuery → BooleanQuery rewrite)."""
 
     def lit_ids(text: str) -> tuple[int, ...]:
         return tuple(term_of.get(t, 0) for t in tokenize_terms(text))
@@ -90,6 +113,18 @@ def lower(expr: Expr, term_of: dict[str, int], optimize: bool = True) -> PNode:
     def rec(e: Expr) -> PNode:
         if isinstance(e, Literal):
             return PPhrase(lit_ids(e.text))
+        if isinstance(e, Prefix):
+            ids = (prefix_ids or {}).get(e.text.lower(), ())
+            return PKeywords(tuple(ids))
+        if isinstance(e, Near):
+            lw = lit_ids(e.lhs)
+            rw = lit_ids(e.rhs)
+            if len(lw) != 1 or len(rw) != 1:
+                raise ValueError(
+                    "near() sides must each tokenize to exactly one word: "
+                    f"{e.lhs!r} -> {lw}, {e.rhs!r} -> {rw}"
+                )
+            return PNear(lw[0], rw[0], int(e.slop), bool(e.ordered))
         if isinstance(e, And):
             kids = []
             for side in (rec(e.lhs), rec(e.rhs)):
@@ -118,13 +153,18 @@ def plan_term_ids(node: PNode) -> set[int]:
         return set(node.ids)
     if isinstance(node, PPhraseAnd):
         return {t for p in node.phrases for t in p}
+    if isinstance(node, PNear):
+        return {node.lhs, node.rhs}
     return {t for c in node.children for t in plan_term_ids(c)}
 
 
 def _phrase_term_ids(node: PNode) -> set[int]:
-    """Terms needing POSITION arrays (multi-term phrase adjacency only)."""
+    """Terms needing POSITION arrays (multi-term phrase adjacency only,
+    plus both sides of a proximity node)."""
     if isinstance(node, PPhrase):
         return set(node.ids) if len(node.ids) > 1 else set()
+    if isinstance(node, PNear):
+        return {node.lhs, node.rhs}
     if isinstance(node, PPhraseAnd):
         return {t for p in node.phrases if len(p) > 1 for t in p}
     if isinstance(node, (PAnd, POr)):
@@ -314,6 +354,37 @@ class Index:
         rows = self.term_dict.where(F.col("term").isin(list(set(words)))).collect()
         return {r["term"]: (r["term_id"], r["df"]) for r in rows}
 
+    # Lucene caps wildcard rewrites at maxClauseCount=1024; same default.
+    PREFIX_MAX_EXPANSIONS = 1024
+
+    def expand_prefix(
+        self, text: str, max_expansions: int | None = None
+    ) -> list[tuple[int, int]]:
+        """Dictionary terms starting with `text` (lowercased verbatim —
+        wildcards are never analyzed) → [(term_id, df)].
+
+        One filtered dictionary read; `startswith` pushes to the parquet
+        scan as a StringStartsWith filter (plan-audited), so at a 10^8-term
+        vocabulary the scan touches only row groups whose term min/max
+        straddle the prefix (the dictionary is written sorted by term).
+        When more than `max_expansions` terms match, the df-heaviest are
+        kept (ties term-ASC) — Lucene's top-terms rewrite: deterministic,
+        and the dropped tail is the lowest-signal fraction of the match
+        set.  An empty prefix is refused (it would expand to the whole
+        vocabulary)."""
+        pfx = text.lower()
+        if not pfx:
+            raise ValueError("empty prefix")
+        cap = max_expansions or self.PREFIX_MAX_EXPANSIONS
+        rows = (
+            self.term_dict.where(F.col("term").startswith(pfx))
+            .select("term_id", "df")
+            .orderBy(F.desc("df"), F.asc("term_id"))
+            .limit(cap)
+            .collect()
+        )
+        return [(r["term_id"], r["df"]) for r in rows]
+
     def postings_for(self, term_ids: set[int]) -> DataFrame:
         ids = sorted(t for t in term_ids if t > 0)
         if not ids:
@@ -351,6 +422,21 @@ def _adjacency_pred(posmap: Column, ids: tuple[int, ...]) -> Column:
         return reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
 
     return F.exists(F.element_at(posmap, key(ids[0])), chain)
+
+
+def _near_pred(posmap: Column, node: "PNear") -> Column:
+    """∃p ∈ pos[lhs], q ∈ pos[rhs]: |q−p| ≤ slop (ordered: 0 < q−p ≤
+    slop) — pure codegen over the per-term position arrays, the sloppy
+    generalization of `_adjacency_pred` (which is the ordered slop=1
+    subcase restricted to exact sequence steps)."""
+    lpos = F.element_at(posmap, F.lit(int(node.lhs)).cast("long"))
+    rpos = F.element_at(posmap, F.lit(int(node.rhs)).cast("long"))
+    slop = F.lit(int(node.slop))
+    if node.ordered:
+        inner = lambda p: lambda q: (q > p) & (q - p <= slop)  # noqa: E731
+    else:
+        inner = lambda p: lambda q: (q != p) & (F.abs(q - p) <= slop)  # noqa: E731
+    return F.exists(lpos, lambda p: F.exists(rpos, inner(p)))
 
 
 # Rarest-term-first seeding engages when the spread between the phrase's
@@ -430,6 +516,12 @@ def eval_match(
         if len(node.ids) > 1:
             cand = cand.where(_adjacency_pred(F.col("posmap"), node.ids))
         return cand.select(*MATCH_COLS)
+
+    if isinstance(node, PNear):
+        if node.lhs == 0 or node.rhs == 0:
+            return ix.empty_match()
+        cand = _phrase_candidates(ix, {node.lhs, node.rhs}, dfs)
+        return cand.where(_near_pred(F.col("posmap"), node)).select(*MATCH_COLS)
 
     if isinstance(node, PPhraseAnd):
         if any((not p or 0 in p) for p in node.phrases):
@@ -569,8 +661,10 @@ def search_expr(
     lut = ix.lookup_terms(words)
     term_of = {w: lut[w][0] for w in lut}
 
-    node = lower(expr, term_of, optimize)
+    prefix_ids, pref_dfs = _expand_prefixes(ix, expr)
+    node = lower(expr, term_of, optimize, prefix_ids=prefix_ids)
     dfs = {tid: df for tid, df in lut.values()}
+    dfs.update(pref_dfs)
     match = ix.exclude_tombstones(eval_match(ix, node, dfs))
     if where:
         match = match.join(
@@ -587,9 +681,33 @@ def search_expr(
 def match_set_expr(ix: Index, expr: Expr, optimize: bool = True) -> DataFrame:
     words = sorted({t for lit_ in _literal_texts(expr) for t in tokenize_terms(lit_)})
     lut = ix.lookup_terms(words)
-    node = lower(expr, {w: lut[w][0] for w in lut}, optimize)
+    prefix_ids, pref_dfs = _expand_prefixes(ix, expr)
+    node = lower(expr, {w: lut[w][0] for w in lut}, optimize, prefix_ids=prefix_ids)
     dfs = {tid: df for tid, df in lut.values()}
+    dfs.update(pref_dfs)
     return ix.exclude_tombstones(eval_match(ix, node, dfs)).orderBy(*MATCH_COLS)
+
+
+def _expand_prefixes(
+    ix: Index, expr: Expr
+) -> tuple[dict[str, tuple[int, ...]], dict[int, int]]:
+    """Every Prefix node's dictionary expansion, plus the expanded terms'
+    dfs (they participate in BM25 scoring exactly like spelled-out OR
+    keywords — score_matches would otherwise default their df to 0)."""
+    prefix_ids: dict[str, tuple[int, ...]] = {}
+    pref_dfs: dict[int, int] = {}
+    for p in sorted({e.text.lower() for e in _walk(expr) if isinstance(e, Prefix)}):
+        pairs = ix.expand_prefix(p)
+        prefix_ids[p] = tuple(tid for tid, _ in pairs)
+        pref_dfs.update(pairs)
+    return prefix_ids, pref_dfs
+
+
+def _walk(expr: Expr):
+    yield expr
+    if isinstance(expr, (And, Or)):
+        yield from _walk(expr.lhs)
+        yield from _walk(expr.rhs)
 
 
 def _mask_consts(ids: set[int], bitpos: dict[int, int], n_words: int) -> list[int]:
@@ -658,6 +776,19 @@ def _batch_pred_sql(
         if len(node.ids) > 1:
             pred = f"({pred}) AND {adjacency(node.ids)}"
         return pred
+    if isinstance(node, PNear):
+        if node.lhs == 0 or node.rhs == 0:
+            return "false"
+        cond = (
+            f"q > p AND q - p <= {node.slop}"
+            if node.ordered
+            else f"q != p AND abs(q - p) <= {node.slop}"
+        )
+        near = (
+            f"exists(try_element_at(posmap, {node.lhs}L), p -> "
+            f"exists(try_element_at(posmap, {node.rhs}L), q -> {cond}))"
+        )
+        return f"({present_all({node.lhs, node.rhs})}) AND {near}"
     if isinstance(node, PPhraseAnd):
         if any((not p or 0 in p) for p in node.phrases):
             return "false"
@@ -708,4 +839,8 @@ def match_set(ix: Index, query: str, optimize: bool = True) -> DataFrame:
 def _literal_texts(expr: Expr) -> list[str]:
     if isinstance(expr, Literal):
         return [expr.text]
+    if isinstance(expr, Near):
+        return [expr.lhs, expr.rhs]
+    if isinstance(expr, Prefix):
+        return []  # expanded against the dictionary, not tokenized
     return _literal_texts(expr.lhs) + _literal_texts(expr.rhs)

@@ -31,7 +31,7 @@ import math
 from dataclasses import dataclass, field
 from typing import Callable
 
-from .plans.parser import And, Expr, Literal, Or, parse_query
+from .plans.parser import And, Expr, Literal, Near, Or, Prefix, parse_query
 from .tokenizer import tokenize
 
 K1 = 1.2
@@ -148,9 +148,46 @@ class OracleIndex:
                 out.add(key)
         return out
 
+    def expand_prefix(self, text: str, cap: int = 1024) -> list[int]:
+        """Dictionary expansion for a Prefix node — same rewrite rule as
+        Index.expand_prefix (never analyzed; df-heaviest `cap` terms kept,
+        ties term-id ASC)."""
+        pfx = text.lower()
+        if not pfx:
+            raise ValueError("empty prefix")
+        ids = [tid for t, tid in self.term_id.items() if t.startswith(pfx)]
+        ids.sort(key=lambda tid: (-self.df.get(tid, 0), tid))
+        return sorted(ids[:cap])
+
+    def _near_matches(self, expr: Near) -> set[tuple[int, int]]:
+        lw = self.query_term_ids(expr.lhs)
+        rw = self.query_term_ids(expr.rhs)
+        if len(lw) != 1 or len(rw) != 1 or 0 in lw or 0 in rw:
+            return set()
+        a, b = lw[0], rw[0]
+        out = set()
+        for key in set(self.postings.get(a, ())) & set(self.postings.get(b, ())):
+            turn = self.turns[key]
+            pa, pb = turn.positions.get(a, ()), turn.positions.get(b, ())
+            if expr.ordered:
+                hit = any(0 < q - p <= expr.slop for p in pa for q in pb)
+            else:
+                hit = any(q != p and abs(q - p) <= expr.slop for p in pa for q in pb)
+            if hit:
+                out.add(key)
+        return out
+
     def _eval(self, expr: Expr) -> set[tuple[int, int]]:
         if isinstance(expr, Literal):
             return self._phrase_matches(self.query_term_ids(expr.text))
+        if isinstance(expr, Prefix):
+            return {
+                key
+                for tid in self.expand_prefix(expr.text)
+                for key in self.postings.get(tid, ())
+            }
+        if isinstance(expr, Near):
+            return self._near_matches(expr)
         if isinstance(expr, And):
             return self._eval(expr.lhs) & self._eval(expr.rhs)
         if isinstance(expr, Or):
@@ -166,16 +203,26 @@ class OracleIndex:
         doc_filter: Callable[[dict], bool] | None = None,
     ) -> list[tuple[int, int, float]]:
         """BM25 top-k over the boolean match set → [(doc, turn, score)]."""
-        expr = parse_query(query)
+        return self.search_expr(
+            parse_query(query), k=k, turn_filter=turn_filter, doc_filter=doc_filter
+        )
+
+    def search_expr(
+        self,
+        expr: Expr,
+        k: int = 10,
+        turn_filter: Callable[[Turn], bool] | None = None,
+        doc_filter: Callable[[dict], bool] | None = None,
+    ) -> list[tuple[int, int, float]]:
+        """search() over a pre-built AST (the QueryBuilder twin) — also
+        the oracle for the builder-only Near/Prefix extensions."""
         matches = self._eval(expr)
         if turn_filter is not None:
             matches = {key for key in matches if turn_filter(self.turns[key])}
         if doc_filter is not None:
             matches = {key for key in matches if doc_filter(self.doc_meta[key[0]])}
 
-        qterms = sorted(
-            {t for lit in _literals(expr) for t in self.query_term_ids(lit) if t > 0}
-        )
+        qterms = sorted(self._scoring_term_ids(expr))
         idf = {t: bm25_idf(self.n_turns, self.df.get(t, 0)) for t in qterms}
 
         scored = []
@@ -189,6 +236,22 @@ class OracleIndex:
             scored.append((key[0], key[1], score))
         scored.sort(key=lambda x: (-x[2], x[0], x[1]))
         return scored[:k]
+
+    def _scoring_term_ids(self, expr: Expr) -> set[int]:
+        """Term ids participating in BM25 scoring — literal/near words
+        plus every prefix expansion (mirrors query.plan_term_ids)."""
+        if isinstance(expr, Literal):
+            return {t for t in self.query_term_ids(expr.text) if t > 0}
+        if isinstance(expr, Near):
+            return {
+                t
+                for w in (expr.lhs, expr.rhs)
+                for t in self.query_term_ids(w)
+                if t > 0
+            }
+        if isinstance(expr, Prefix):
+            return set(self.expand_prefix(expr.text))
+        return self._scoring_term_ids(expr.lhs) | self._scoring_term_ids(expr.rhs)
 
     def match_set(self, query: str) -> set[tuple[int, int]]:
         return self._eval(parse_query(query))

@@ -22,6 +22,16 @@ from pyspark.sql import functions as F
 from .text import term_df, with_tokens
 
 
+def _scalar(df: DataFrame):
+    """A 1-row/1-column aggregate as a true scalar subquery Column
+    (``DataFrame.scalar()``, Spark 4) — the engine evaluates the
+    subquery once and inlines the value into the main plan.  No join of
+    any kind (the previous ``crossJoin(broadcast(..))`` lowered to
+    BroadcastNestedLoopJoin and tripped the no-cross-join plan audit;
+    a constant-key equi-join folds straight back to nested-loop)."""
+    return df.scalar()
+
+
 def vocab_coverage(docs: DataFrame, v: int = 100) -> DataFrame:
     """Top-``v`` vocabulary by collection frequency with cumulative
     token coverage: (rank, term, cf, df, coverage).
@@ -40,18 +50,17 @@ def vocab_coverage(docs: DataFrame, v: int = 100) -> DataFrame:
     The corpus-wide token total is a 1-row aggregate broadcast into the
     projection."""
     tdf = term_df(docs)
-    total = tdf.agg(F.sum("cf").cast("double").alias("_total"))
+    total = _scalar(tdf.agg(F.sum("cf").cast("double").alias("_total")))
     top = tdf.orderBy(F.desc("cf"), "term").limit(v)
     w = Window.orderBy(F.desc("cf"), "term")
     return (
-        top.crossJoin(F.broadcast(total))
-        .select(
+        top.select(
             F.row_number().over(w).cast("long").alias("rank"),
             "term",
             "cf",
             "df",
             F.round(
-                F.sum("cf").over(w).cast("double") / F.col("_total"), 4
+                F.sum("cf").over(w).cast("double") / total, 4
             ).alias("coverage"),
         )
     )
@@ -84,21 +93,19 @@ def tfidf_topk(docs: DataFrame, k: int = 3, min_df: int = 1) -> DataFrame:
     df_t = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     if min_df > 1:
         df_t = df_t.where(F.col("df") >= min_df)
-    n_docs = docs.agg(F.countDistinct("doc_id").cast("double").alias("_n"))
-    scored = (
-        tf.join(df_t, "term")
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "score",
-            F.round(
-                F.col("tf").cast("double")
-                * F.log(
-                    (F.col("_n") + F.lit(1.0))
-                    / (F.col("df").cast("double") + F.lit(1.0))
-                ),
-                4,
+    n_docs = _scalar(
+        docs.agg(F.countDistinct("doc_id").cast("double").alias("_n"))
+    )
+    scored = tf.join(df_t, "term").withColumn(
+        "score",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(
+                (n_docs + F.lit(1.0))
+                / (F.col("df").cast("double") + F.lit(1.0))
             ),
-        )
+            4,
+        ),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
     return (

@@ -24,7 +24,7 @@ from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame
 
-from .parser import And, Expr, Literal, Or
+from .parser import And, Expr, Literal, Near, Or, Prefix
 
 
 def _merge_pred(a: str | None, b: str | None) -> str | None:
@@ -66,6 +66,31 @@ class QueryBuilder:
         if not words:
             raise ValueError("keywords() needs at least one word")
         return self._add(_keywords_expr(words))
+
+    def prefix(self, text: str) -> "QueryBuilder":
+        """Wildcard term clause `text*`: matches turns containing ANY
+        dictionary term starting with `text` (lowercased verbatim, never
+        stemmed — the Lucene rule), scored like the equivalent spelled-out
+        keyword OR.  Expansion is a pushed-down dictionary range scan
+        capped at Index.PREFIX_MAX_EXPANSIONS df-heaviest terms.
+        Beyond-reference extension (the string grammar is unchanged)."""
+        if not text or not text.strip():
+            raise ValueError("prefix() needs a non-empty prefix")
+        return self._add(Prefix(text.strip()))
+
+    def near(
+        self, lhs: str, rhs: str, slop: int = 3, ordered: bool = False
+    ) -> "QueryBuilder":
+        """Proximity clause: `lhs` and `rhs` (single words, tokenized and
+        stemmed like any literal) co-occur in one turn within `slop` token
+        positions — |p_rhs − p_lhs| ≤ slop, or 0 < p_rhs − p_lhs ≤ slop
+        when ordered.  `"a b"` as a phrase equals near(a, b, 1,
+        ordered=True) restricted to exact adjacency.  Rides the phrase
+        candidate machinery (incl. rarest-term-first seeding) with a
+        different position predicate.  Beyond-reference extension."""
+        if slop < 1:
+            raise ValueError("near() slop must be >= 1")
+        return self._add(Near(lhs, rhs, int(slop), bool(ordered)))
 
     def _add(self, e: Expr) -> "QueryBuilder":
         merged = e if self._expr is None else And(self._expr, e)
@@ -159,4 +184,8 @@ class QueryBuilder:
 def _literal_texts(expr: Expr) -> list[str]:
     if isinstance(expr, Literal):
         return [expr.text]
+    if isinstance(expr, Near):
+        return [expr.lhs, expr.rhs]  # both sides keyword-highlighted
+    if isinstance(expr, Prefix):
+        return []  # dictionary-expanded, not highlighted
     return _literal_texts(expr.lhs) + _literal_texts(expr.rhs)

@@ -44,6 +44,31 @@ class Or(Expr):
     rhs: Expr
 
 
+@dataclass(frozen=True)
+class Prefix(Expr):
+    """Wildcard term query `text*`: matches every dictionary term that
+    starts with ``text`` (lowercased verbatim — NOT stemmed/tokenized,
+    the Lucene rule: wildcard patterns are never analyzed, a stemmer
+    would corrupt the user's prefix).  Beyond-reference extension —
+    builder-only, the string grammar stays exactly the reference's
+    (engine/src/query/parser.rs:155-181)."""
+
+    text: str
+
+
+@dataclass(frozen=True)
+class Near(Expr):
+    """Proximity query: single words ``lhs`` and ``rhs`` co-occur in one
+    turn within ``slop`` token positions (|p_r − p_l| ≤ slop; ordered ⇒
+    0 < p_r − p_l ≤ slop).  Words tokenize/stem like any literal.
+    Beyond-reference extension — builder-only."""
+
+    lhs: str
+    rhs: str
+    slop: int = 3
+    ordered: bool = False
+
+
 class QueryParseError(ValueError):
     pass
 

@@ -23,6 +23,7 @@ rank-identity is internal consistency (SURVEY.md §7 risk table).
 
 from __future__ import annotations
 
+import re
 from typing import NamedTuple
 
 import regex
@@ -45,6 +46,27 @@ _WORD_RE = regex.compile(
 
 _HAS_ALNUM = regex.compile(r"[\p{L}\p{N}]")
 
+# ASCII fast path: on pure-ASCII text (the overwhelming majority of
+# transcript turns) the unicode pattern above degenerates exactly to the
+# stdlib-`re` pattern below — regex.UNICODE \w on ASCII is [A-Za-z0-9_],
+# \p{L} is [A-Za-z], \p{N} is [0-9], and the non-ASCII mid characters
+# (’ ·) can never occur.  stdlib `re` executes this ~1.8x faster than
+# the `regex` module (measured, BENCH notes), and byte offsets equal
+# char offsets, so the whole offset-conversion pass drops out.  Pinned
+# equal to the unicode path by a hypothesis test over ASCII strings
+# (tests/test_tokenizer.py).
+_ASCII_WORD_RE = re.compile(
+    r"\w+"
+    r"(?:"
+    r"(?:(?<=[A-Za-z])[:.'](?=[A-Za-z])"
+    r"|(?<=[0-9])[,;.'](?=[0-9]))"
+    r"\w+"
+    r")*",
+    re.ASCII,
+)
+
+_ASCII_HAS_ALNUM = re.compile(r"[A-Za-z0-9]")
+
 
 class Token(NamedTuple):
     """Byte range of a word within the turn text + its stemmed term."""
@@ -59,6 +81,19 @@ def segment(text: str) -> list[tuple[int, int, str]]:
 
     Returns [(byte_start, byte_end, raw_word)].
     """
+    if text.isascii():
+        has_alnum = _ASCII_HAS_ALNUM.search
+        return [
+            (m.start(), m.end(), w)
+            for m in _ASCII_WORD_RE.finditer(text)
+            if has_alnum(w := m.group())
+        ]
+    return _segment_unicode(text)
+
+
+def _segment_unicode(text: str) -> list[tuple[int, int, str]]:
+    """The full-unicode segmentation path (also the pinning reference the
+    ASCII fast path is hypothesis-tested against)."""
     out: list[tuple[int, int, str]] = []
     is_ascii = text.isascii()
     # running conversion of char offsets -> byte offsets (single forward pass)

@@ -1,0 +1,153 @@
+"""Near (proximity) and Prefix (wildcard) query extensions — builder-only
+surface beyond the reference grammar (plans/parser.py Near/Prefix), pinned
+rank-identical to the pure-Python oracle (oracle.search_expr) and
+internally consistent with their spelled-out equivalents."""
+
+import pytest
+
+from joie_spark.plans.parser import And, Literal, Near, Or, Prefix
+
+NEAR_CASES = [
+    ("roll", "dice", 1, False),
+    ("roll", "dice", 3, False),
+    ("roll", "dice", 3, True),
+    ("crystal", "kingdom", 1, True),
+    ("crystal", "kingdom", 5, False),
+    ("the", "dice", 2, False),  # hot lhs — exercises rarest-term seeding
+    ("roll", "roll", 2, False),  # same stemmed term: needs 2 positions
+    ("roll", "zzzzunseenzzz", 3, False),  # OOV side -> empty
+]
+
+
+def _spark_topk(df):
+    return [(r["doc_id"], r["turn_idx"], r["score"]) for r in df.collect()]
+
+
+def _spark_matches(df):
+    return {(r["doc_id"], r["turn_idx"]) for r in df.collect()}
+
+
+@pytest.mark.parametrize("lhs,rhs,slop,ordered", NEAR_CASES)
+def test_near_rank_identity(lhs, rhs, slop, ordered, t1_engine, t1_oracle):
+    b = t1_engine.builder().near(lhs, rhs, slop=slop, ordered=ordered)
+    expr = Near(lhs, rhs, slop, ordered)
+    assert _spark_matches(b.matches()) == t1_oracle._eval(expr)
+    assert _spark_topk(b.top_k(10)) == t1_oracle.search_expr(expr, k=10)
+
+
+def test_near_nonempty_somewhere(t1_oracle):
+    """The corpus must actually exercise the operator: at least one case
+    above matches and at least one distance is > adjacency."""
+    wide = t1_oracle._eval(Near("roll", "dice", 5, False))
+    tight = t1_oracle._eval(Near("roll", "dice", 1, False))
+    assert wide, "corpus never has roll within 5 of dice — weak fixture"
+    assert tight <= wide
+
+
+def test_near_ordered_subset_of_unordered(t1_engine):
+    o = _spark_matches(
+        t1_engine.builder().near("roll", "dice", slop=3, ordered=True).matches()
+    )
+    u = _spark_matches(
+        t1_engine.builder().near("roll", "dice", slop=3, ordered=False).matches()
+    )
+    assert o <= u
+
+
+def test_phrase_is_ordered_near_slop1(t1_engine):
+    """Exact adjacency ⊆ ordered near with slop 1 (equal for 2-term
+    phrases: both require p_rhs − p_lhs == 1)."""
+    ph = _spark_matches(t1_engine.match_set('"crystal kingdom"'))
+    nr = _spark_matches(
+        t1_engine.builder().near("crystal", "kingdom", slop=1, ordered=True).matches()
+    )
+    assert ph == nr
+
+
+def test_near_composes_with_boolean(t1_engine, t1_oracle):
+    b = t1_engine.builder().near("roll", "dice", slop=4) & t1_engine.builder().keywords(
+        "game", "kingdom"
+    )
+    expr = And(Near("roll", "dice", 4, False), Or(Literal("game"), Literal("kingdom")))
+    assert _spark_matches(b.matches()) == t1_oracle._eval(expr)
+    assert _spark_topk(b.top_k(10)) == t1_oracle.search_expr(expr, k=10)
+
+
+def test_near_stems_its_sides(t1_engine):
+    a = _spark_matches(t1_engine.builder().near("rolling", "dice", slop=3).matches())
+    b = _spark_matches(t1_engine.builder().near("roll", "dice", slop=3).matches())
+    assert a == b
+
+
+def test_near_rejects_phrase_sides(t1_engine):
+    with pytest.raises(ValueError, match="exactly one word"):
+        t1_engine.builder().near("roll for", "dice").matches().collect()
+    with pytest.raises(ValueError, match="slop"):
+        t1_engine.builder().near("roll", "dice", slop=0)
+
+
+@pytest.mark.parametrize("pfx", ["ro", "cry", "d", "zzzz"])
+def test_prefix_rank_identity(pfx, t1_engine, t1_oracle):
+    b = t1_engine.builder().prefix(pfx)
+    expr = Prefix(pfx)
+    assert _spark_matches(b.matches()) == t1_oracle._eval(expr)
+    assert _spark_topk(b.top_k(10)) == t1_oracle.search_expr(expr, k=10)
+
+
+def test_prefix_equals_spelled_out_or(t1_engine, t1_oracle):
+    """prefix(p) is EXACTLY the keyword OR of its dictionary expansion —
+    same match set, same scores (the Lucene MultiTermQuery rewrite
+    contract)."""
+    terms = [
+        t for t in t1_oracle.term_id if t.startswith("ro")
+    ]
+    assert len(terms) >= 2, "fixture too weak for the rewrite test"
+    spelled = t1_engine.builder().keywords(*terms)
+    pre = t1_engine.builder().prefix("ro")
+    assert _spark_topk(pre.top_k(10)) == _spark_topk(spelled.top_k(10))
+
+
+def test_prefix_expansion_cap_keeps_df_heaviest(t1_engine, t1_oracle):
+    full = t1_engine.index.expand_prefix("ro")
+    assert len(full) >= 2
+    capped = t1_engine.index.expand_prefix("ro", max_expansions=1)
+    assert len(capped) == 1
+    # the kept term is the df-heaviest of the full expansion
+    best = max(full, key=lambda p: (p[1], -p[0]))
+    assert capped[0] == best
+    # oracle cap rule agrees
+    assert t1_oracle.expand_prefix("ro", cap=1) == [capped[0][0]]
+
+
+def test_prefix_case_folds_and_rejects_empty(t1_engine):
+    a = _spark_matches(t1_engine.builder().prefix("RO").matches())
+    b = _spark_matches(t1_engine.builder().prefix("ro").matches())
+    assert a == b
+    with pytest.raises(ValueError):
+        t1_engine.builder().prefix("  ")
+    with pytest.raises(ValueError):
+        t1_engine.index.expand_prefix("")
+
+
+def test_prefix_composes_and_scores_expanded_terms(t1_engine, t1_oracle):
+    b = t1_engine.builder().prefix("ro") & t1_engine.builder().phrase("crystal kingdom")
+    expr = And(Prefix("ro"), Literal("crystal kingdom"))
+    assert _spark_topk(b.top_k(10)) == t1_oracle.search_expr(expr, k=10)
+
+
+def test_near_prefix_tombstone_filtered(t1_engine, t1_oracle):
+    """Both extensions respect the deny-list path: with no deletes the
+    tombstone frame is None and results equal the oracle (covered above);
+    here just pin that the filters compose with where/where_doc."""
+    got = _spark_topk(
+        t1_engine.builder()
+        .near("roll", "dice", slop=4)
+        .filter_turns("role = 'user'")
+        .top_k(10)
+    )
+    want = t1_oracle.search_expr(
+        Near("roll", "dice", 4, False),
+        k=10,
+        turn_filter=lambda t: t.role == "user",
+    )
+    assert got == want

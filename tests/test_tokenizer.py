@@ -37,3 +37,33 @@ def test_non_latin_and_empty():
 
 def test_case_folding_and_stemming_applied():
     assert tokenize_terms("Running RUNNING running") == ["run", "run", "run"]
+
+
+def test_ascii_fast_path_equals_unicode_path():
+    """segment()'s stdlib-`re` ASCII fast path is pinned bit-equal to the
+    full-unicode `regex` path on ASCII input (hypothesis + adversarial
+    goldens around every mid-character rule)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from joie_spark.tokenizer import _segment_unicode
+
+    goldens = [
+        "don't stop", "1,000,000", "3:4", "a.b.c", "1.5", "x'y'z",
+        "a:b c;d", "__ __a__ 9;9", "':;.,'", "can't,won't", "1,a,2",
+        "trailing'", "'leading", "1;2;3", "A:B:C", "mid.dot.",
+    ]
+    for t in goldens:
+        assert segment(t) == _segment_unicode(t), t
+
+    alphabet = st.sampled_from(list("abZ09_'.,:;·- \t"))
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=40))
+    def check(t):
+        if t.isascii():
+            assert segment(t) == _segment_unicode(t)
+        else:  # the · draws exercise the dispatch itself
+            assert segment(t) == _segment_unicode(t)
+
+    check()
