@@ -170,6 +170,18 @@ def q_near_window(spark, sf_dir):
     return m.where(near).select("doc_id")
 
 
+def q_and_not(spark, sf_dir):
+    """Boolean difference (operators/query.py PDiff — builder-only
+    `a - b`): docs matching 'fast' minus docs matching 'slow', a
+    left-anti join on the match key; the prohibited side never scores
+    (tests/test_near_prefix.py pins rank identity + the Lucene
+    prohibited-clause scoring rule engine-side)."""
+    tok = _tokens_exploded(_docs(spark, sf_dir))
+    a = tok.where(F.col("term") == "fast").select("doc_id").distinct()
+    b = tok.where(F.col("term") == "slow").select("doc_id").distinct()
+    return a.join(b, "doc_id", "left_anti")
+
+
 def q_prefix_bm25(spark, sf_dir):
     """Wildcard term query `s*` scored with full BM25 over its expansion
     (operators/query.py Index.expand_prefix → PKeywords; Lucene's
@@ -984,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_adjacency": q_phrase_adjacency,
         "near_window": q_near_window,
         "prefix_bm25": q_prefix_bm25,
+        "and_not": q_and_not,
         "bm25_topk": q_bm25_topk,
         "bm25_batch": q_bm25_batch,
         "union_dedup": q_union_dedup,
@@ -1538,6 +1551,10 @@ def oracle_sql() -> dict[str, str]:
         "phrase_adjacency": f"""
             SELECT doc_id FROM documents
             WHERE contains(' ' || array_to_string({TOK_DD}, ' ') || ' ', ' fast table ')""",
+        "and_not": f"""
+            SELECT DISTINCT doc_id FROM documents
+            WHERE list_contains({TOK_DD}, 'fast')
+              AND NOT list_contains({TOK_DD}, 'slow')""",
         "near_window": f"""
             WITH tok AS (SELECT doc_id, {TOK_DD} AS ts FROM documents),
             pos AS (SELECT doc_id, unnest(ts) AS term,

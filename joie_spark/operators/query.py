@@ -33,7 +33,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..oracle import B, K1, bm25_idf
-from ..plans.parser import And, Expr, Literal, Near, Or, Prefix, parse_query
+from ..plans.parser import (
+    And,
+    AndNot,
+    Expr,
+    Literal,
+    Near,
+    Or,
+    Prefix,
+    parse_query,
+)
 from ..sources.tables import read_stats, table_path
 from ..tokenizer import tokenize_terms
 
@@ -85,6 +94,16 @@ class PNear(PNode):
 
 
 @dataclass(frozen=True)
+class PDiff(PNode):
+    """Boolean difference (plans/parser.py AndNot): left's matches minus
+    right's — a left-anti join on (doc_id, turn_idx).  Right-side terms
+    are excluded from BM25 scoring (Lucene's prohibited-clause rule)."""
+
+    left: PNode
+    right: PNode
+
+
+@dataclass(frozen=True)
 class PAnd(PNode):
     children: tuple[PNode, ...]
 
@@ -125,6 +144,8 @@ def lower(
                     f"{e.lhs!r} -> {lw}, {e.rhs!r} -> {rw}"
                 )
             return PNear(lw[0], rw[0], int(e.slop), bool(e.ordered))
+        if isinstance(e, AndNot):
+            return PDiff(rec(e.lhs), rec(e.rhs))
         if isinstance(e, And):
             kids = []
             for side in (rec(e.lhs), rec(e.rhs)):
@@ -155,6 +176,8 @@ def plan_term_ids(node: PNode) -> set[int]:
         return {t for p in node.phrases for t in p}
     if isinstance(node, PNear):
         return {node.lhs, node.rhs}
+    if isinstance(node, PDiff):
+        return plan_term_ids(node.left)  # prohibited side never scores
     return {t for c in node.children for t in plan_term_ids(c)}
 
 
@@ -165,6 +188,8 @@ def _phrase_term_ids(node: PNode) -> set[int]:
         return set(node.ids) if len(node.ids) > 1 else set()
     if isinstance(node, PNear):
         return {node.lhs, node.rhs}
+    if isinstance(node, PDiff):
+        return _phrase_term_ids(node.left) | _phrase_term_ids(node.right)
     if isinstance(node, PPhraseAnd):
         return {t for p in node.phrases if len(p) > 1 for t in p}
     if isinstance(node, (PAnd, POr)):
@@ -533,6 +558,14 @@ def eval_match(
                 cand = cand.where(_adjacency_pred(F.col("posmap"), p))
         return cand.select(*MATCH_COLS)
 
+    if isinstance(node, PDiff):
+        left = eval_match(ix, node.left, dfs)
+        right = eval_match(ix, node.right, dfs)
+        # left-anti on the composite key; the right side is a match SET
+        # (one row per turn), so no row explosion and Spark picks
+        # broadcast vs shuffled anti by its own size estimate
+        return left.join(right, MATCH_COLS, "left_anti")
+
     if isinstance(node, PAnd):
         parts = [eval_match(ix, c, dfs) for c in node.children]
         return reduce(lambda a, b: a.join(b, MATCH_COLS, "inner"), parts)
@@ -705,7 +738,7 @@ def _expand_prefixes(
 
 def _walk(expr: Expr):
     yield expr
-    if isinstance(expr, (And, Or)):
+    if isinstance(expr, (And, AndNot, Or)):
         yield from _walk(expr.lhs)
         yield from _walk(expr.rhs)
 
@@ -795,6 +828,11 @@ def _batch_pred_sql(
         parts = [present_all({t for p in node.phrases for t in p})]
         parts += [adjacency(p) for p in node.phrases if len(p) > 1]
         return " AND ".join(f"({x})" for x in parts)
+    if isinstance(node, PDiff):
+        return (
+            f"({_batch_pred_sql(node.left, bitpos, n_words)})"
+            f" AND NOT ({_batch_pred_sql(node.right, bitpos, n_words)})"
+        )
     if isinstance(node, PAnd):
         return " AND ".join(
             f"({_batch_pred_sql(c, bitpos, n_words)})" for c in node.children

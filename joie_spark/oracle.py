@@ -31,7 +31,16 @@ import math
 from dataclasses import dataclass, field
 from typing import Callable
 
-from .plans.parser import And, Expr, Literal, Near, Or, Prefix, parse_query
+from .plans.parser import (
+    And,
+    AndNot,
+    Expr,
+    Literal,
+    Near,
+    Or,
+    Prefix,
+    parse_query,
+)
 from .tokenizer import tokenize
 
 K1 = 1.2
@@ -190,6 +199,8 @@ class OracleIndex:
             return self._near_matches(expr)
         if isinstance(expr, And):
             return self._eval(expr.lhs) & self._eval(expr.rhs)
+        if isinstance(expr, AndNot):
+            return self._eval(expr.lhs) - self._eval(expr.rhs)
         if isinstance(expr, Or):
             return self._eval(expr.lhs) | self._eval(expr.rhs)
         raise TypeError(type(expr))
@@ -251,6 +262,8 @@ class OracleIndex:
             }
         if isinstance(expr, Prefix):
             return set(self.expand_prefix(expr.text))
+        if isinstance(expr, AndNot):
+            return self._scoring_term_ids(expr.lhs)  # prohibited side never scores
         return self._scoring_term_ids(expr.lhs) | self._scoring_term_ids(expr.rhs)
 
     def match_set(self, query: str) -> set[tuple[int, int]]:

@@ -24,7 +24,7 @@ from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame
 
-from .parser import And, Expr, Literal, Near, Or, Prefix
+from .parser import And, AndNot, Expr, Literal, Near, Or, Prefix
 
 
 def _merge_pred(a: str | None, b: str | None) -> str | None:
@@ -103,8 +103,28 @@ class QueryBuilder:
     def or_(self, other: "QueryBuilder") -> "QueryBuilder":
         return self._combine(other, Or)
 
+    def and_not(self, other: "QueryBuilder") -> "QueryBuilder":
+        """Boolean difference `a - b`: this builder's matches minus
+        `other`'s (Lucene's prohibited clause: negation is only legal
+        against a positive left side).  `other`'s terms do not score and
+        do not highlight.  `other` must carry no filters — a filter on
+        the prohibited side is ambiguous (exclude b-in-user-turns ≠
+        whole-query user filter), so it is refused rather than guessed.
+        Beyond-reference extension."""
+        if other._expr is None:
+            raise ValueError("and_not() needs a clause on the right side")
+        if other._where or other._where_doc:
+            raise ValueError(
+                "and_not() right side must not carry filters; put "
+                "filter_turns/filter_documents on the combined query"
+            )
+        if self._expr is None:
+            raise ValueError("and_not() needs a positive left side")
+        return replace(self, _expr=AndNot(self._expr, other._expr))
+
     __and__ = and_
     __or__ = or_
+    __sub__ = and_not
 
     def _combine(self, other: "QueryBuilder", op) -> "QueryBuilder":
         if self._expr is None or other._expr is None:
@@ -188,4 +208,6 @@ def _literal_texts(expr: Expr) -> list[str]:
         return [expr.lhs, expr.rhs]  # both sides keyword-highlighted
     if isinstance(expr, Prefix):
         return []  # dictionary-expanded, not highlighted
+    if isinstance(expr, AndNot):
+        return _literal_texts(expr.lhs)  # prohibited terms never highlight
     return _literal_texts(expr.lhs) + _literal_texts(expr.rhs)

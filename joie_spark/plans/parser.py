@@ -45,6 +45,18 @@ class Or(Expr):
 
 
 @dataclass(frozen=True)
+class AndNot(Expr):
+    """Boolean difference: turns matching ``lhs`` and NOT matching
+    ``rhs`` (the Lucene prohibited-clause rule: negation is only legal
+    against a positive clause — a bare NOT would be a corpus-wide scan
+    by definition).  ``rhs`` terms do not participate in BM25 scoring.
+    Beyond-reference extension — builder-only."""
+
+    lhs: Expr
+    rhs: Expr
+
+
+@dataclass(frozen=True)
 class Prefix(Expr):
     """Wildcard term query `text*`: matches every dictionary term that
     starts with ``text`` (lowercased verbatim — NOT stemmed/tokenized,

@@ -100,6 +100,14 @@ def main() -> None:
         and "ArrowEvalPython" not in plan_near
         and "TakeOrderedAndProject" in plan_near
     )
+    plan_diff = explain_str(
+        (eng.builder().keywords("roll") - eng.builder().keywords("dice")).top_k(5)
+    )
+    results["andnot_anti_join_no_cartesian"] = (
+        "LeftAnti" in plan_diff
+        and "CartesianProduct" not in plan_diff
+        and "BroadcastNestedLoopJoin" not in plan_diff
+    )
 
     # 5. batch path: partition-pruned scans, no cross join, and the
     # phrase-free queries run on the COMPRESSED blocks table (VERDICT r2):

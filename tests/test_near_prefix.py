@@ -151,3 +151,80 @@ def test_near_prefix_tombstone_filtered(t1_engine, t1_oracle):
         turn_filter=lambda t: t.role == "user",
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# AndNot (boolean difference) — plans/parser.py AndNot, operators/query.py
+# PDiff: left-anti join on the match key; prohibited side never scores or
+# highlights (the Lucene prohibited-clause rule).
+
+from joie_spark.plans.parser import AndNot  # noqa: E402
+
+
+def test_andnot_rank_identity(t1_engine, t1_oracle):
+    cases = [
+        AndNot(Literal("roll"), Literal("dice")),
+        AndNot(Or(Literal("roll"), Literal("dice")), Literal("crystal kingdom")),
+        AndNot(Prefix("ro"), Literal("roll")),
+        AndNot(Literal("roll"), Near("crystal", "kingdom", 3, False)),
+    ]
+    builders = [
+        t1_engine.builder().keywords("roll") - t1_engine.builder().keywords("dice"),
+        t1_engine.builder().keywords("roll", "dice").and_not(
+            t1_engine.builder().phrase("crystal kingdom")
+        ),
+        t1_engine.builder().prefix("ro") - t1_engine.builder().keywords("roll"),
+        t1_engine.builder().keywords("roll")
+        - t1_engine.builder().near("crystal", "kingdom", slop=3),
+    ]
+    for expr, b in zip(cases, builders):
+        assert _spark_matches(b.matches()) == t1_oracle._eval(expr), expr
+        assert _spark_topk(b.top_k(10)) == t1_oracle.search_expr(expr, k=10), expr
+
+
+def test_andnot_partitions_the_left_set(t1_engine):
+    a = _spark_matches(t1_engine.builder().keywords("roll").matches())
+    both = _spark_matches(
+        (t1_engine.builder().keywords("roll") & t1_engine.builder().keywords("dice")).matches()
+    )
+    diff = _spark_matches(
+        (t1_engine.builder().keywords("roll") - t1_engine.builder().keywords("dice")).matches()
+    )
+    assert both and diff, "fixture too weak: need both partitions non-empty"
+    assert diff | both == a
+    assert diff & both == set()
+
+
+def test_andnot_prohibited_side_never_scores(t1_engine):
+    """A surviving turn scores exactly as the positive query alone — even
+    when the turn contains rhs terms (rhs here is a conjunction, so a
+    dice-only turn survives `- (dice AND game)` yet contains 'dice')."""
+    pos = {
+        (r["doc_id"], r["turn_idx"]): r["score"]
+        for r in t1_engine.builder().keywords("roll").top_k(1000).collect()
+    }
+    rhs = t1_engine.builder().keywords("dice") & t1_engine.builder().keywords("game")
+    diff = (t1_engine.builder().keywords("roll") - rhs).top_k(1000).collect()
+    assert diff
+    for r in diff:
+        assert r["score"] == pos[(r["doc_id"], r["turn_idx"])]
+
+
+def test_andnot_refuses_ambiguity(t1_engine):
+    with pytest.raises(ValueError, match="filters"):
+        t1_engine.builder().keywords("roll") - t1_engine.builder().keywords(
+            "dice"
+        ).filter_turns("role='user'")
+    with pytest.raises(ValueError, match="positive left"):
+        t1_engine.builder() - t1_engine.builder().keywords("dice")
+    with pytest.raises(ValueError, match="right side"):
+        t1_engine.builder().keywords("roll") - t1_engine.builder()
+
+
+def test_andnot_composes(t1_engine, t1_oracle):
+    b = (
+        t1_engine.builder().keywords("roll") - t1_engine.builder().keywords("dice")
+    ) | t1_engine.builder().phrase("crystal kingdom")
+    expr = Or(AndNot(Literal("roll"), Literal("dice")), Literal("crystal kingdom"))
+    assert _spark_matches(b.matches()) == t1_oracle._eval(expr)
+    assert _spark_topk(b.top_k(10)) == t1_oracle.search_expr(expr, k=10)
