@@ -170,6 +170,38 @@ def q_near_window(spark, sf_dir):
     return m.where(near).select("doc_id")
 
 
+def q_fuzzy_bm25(spark, sf_dir):
+    """Fuzzy term query `fast~1` scored with full BM25 over its edit-
+    distance expansion (operators/query.py Index.expand_fuzzy →
+    PKeywords; the length-band + levenshtein dictionary scan).  The
+    driver-plan mirror expands on the exploded term column with Spark's
+    JVM levenshtein; the DuckDB oracle uses its levenshtein()."""
+    docs = _docs(spark, sf_dir).withColumn("tokens", text.sql_tokens()).cache()
+    tok = docs.select("doc_id", F.explode("tokens").alias("term"))
+    dl = docs.select("doc_id", F.size("tokens").cast("long").alias("dl"))
+    st = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n, avgdl = st["n"], st["avgdl"]
+    tf = (
+        tok.where(F.levenshtein(F.col("term"), F.lit("fast")) <= 1)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    j = tf.join(dfc, "term").join(dl, "doc_id")
+    contrib = (
+        F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * F.lit(2.2))
+        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(F.sum(contrib).alias("s"))
+        .select("doc_id", F.round("s", 4).alias("score"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def q_and_not(spark, sf_dir):
     """Boolean difference (operators/query.py PDiff — builder-only
     `a - b`): docs matching 'fast' minus docs matching 'slow', a
@@ -996,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_adjacency": q_phrase_adjacency,
         "near_window": q_near_window,
         "prefix_bm25": q_prefix_bm25,
+        "fuzzy_bm25": q_fuzzy_bm25,
         "and_not": q_and_not,
         "bm25_topk": q_bm25_topk,
         "bm25_batch": q_bm25_batch,
@@ -1551,6 +1584,23 @@ def oracle_sql() -> dict[str, str]:
         "phrase_adjacency": f"""
             SELECT doc_id FROM documents
             WHERE contains(' ' || array_to_string({TOK_DD}, ' ') || ' ', ' fast table ')""",
+        "fuzzy_bm25": f"""
+            WITH tok AS (SELECT doc_id, unnest({TOK_DD}) AS term FROM documents),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+            st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+                   WHERE levenshtein(term, 'fast') <= 1 GROUP BY doc_id, term),
+            dfc AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+            SELECT tf.doc_id AS doc_id,
+                   round(sum(ln(1.0 + (st.n - dfc.df + 0.5)/(dfc.df + 0.5))
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl))), 4) AS score
+            FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+            GROUP BY tf.doc_id
+            ORDER BY sum(ln(1.0 + (st.n - dfc.df + 0.5)/(dfc.df + 0.5))
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl))) DESC, tf.doc_id
+            LIMIT 10""",
         "and_not": f"""
             SELECT DISTINCT doc_id FROM documents
             WHERE list_contains({TOK_DD}, 'fast')

@@ -37,6 +37,7 @@ from ..plans.parser import (
     And,
     AndNot,
     Expr,
+    Fuzzy,
     Literal,
     Near,
     Or,
@@ -118,13 +119,14 @@ def lower(
     term_of: dict[str, int],
     optimize: bool = True,
     prefix_ids: dict[str, tuple[int, ...]] | None = None,
+    fuzzy_ids: dict[tuple[str, int], tuple[int, ...]] | None = None,
 ) -> PNode:
     """AST → physical plan with the reference's rewrites.
 
-    `prefix_ids` maps each Prefix node's text to its dictionary
-    expansion (Index.expand_prefix) — a Prefix lowers to the SAME
-    PKeywords scan a hand-written OR of the expanded terms would
-    (Lucene's MultiTermQuery → BooleanQuery rewrite)."""
+    `prefix_ids` / `fuzzy_ids` map each Prefix / Fuzzy node to its
+    dictionary expansion (Index.expand_prefix / expand_fuzzy) — both
+    lower to the SAME PKeywords scan a hand-written OR of the expanded
+    terms would (Lucene's MultiTermQuery → BooleanQuery rewrite)."""
 
     def lit_ids(text: str) -> tuple[int, ...]:
         return tuple(term_of.get(t, 0) for t in tokenize_terms(text))
@@ -134,6 +136,9 @@ def lower(
             return PPhrase(lit_ids(e.text))
         if isinstance(e, Prefix):
             ids = (prefix_ids or {}).get(e.text.lower(), ())
+            return PKeywords(tuple(ids))
+        if isinstance(e, Fuzzy):
+            ids = (fuzzy_ids or {}).get((e.text.lower(), int(e.max_edits)), ())
             return PKeywords(tuple(ids))
         if isinstance(e, Near):
             lw = lit_ids(e.lhs)
@@ -403,6 +408,44 @@ class Index:
         cap = max_expansions or self.PREFIX_MAX_EXPANSIONS
         rows = (
             self.term_dict.where(F.col("term").startswith(pfx))
+            .select("term_id", "df")
+            .orderBy(F.desc("df"), F.asc("term_id"))
+            .limit(cap)
+            .collect()
+        )
+        return [(r["term_id"], r["df"]) for r in rows]
+
+    def expand_fuzzy(
+        self, text: str, max_edits: int = 1, max_expansions: int | None = None
+    ) -> list[tuple[int, int]]:
+        """Dictionary terms within `max_edits` Levenshtein distance of
+        `text` (lowercased verbatim — like prefixes, fuzzy patterns are
+        never analyzed) → [(term_id, df)], df-heaviest `max_expansions`
+        kept (same deterministic cap rule as expand_prefix).
+
+        Scale shape: one dictionary scan with a pushed length band
+        (|len(term) − len(q)| ≤ k is a necessary condition for edit
+        distance ≤ k, and length() + the levenshtein filter stay in JVM
+        codegen — no shuffle, no Python).  This is the relational
+        analogue of pre-FST Lucene's brute fuzzy enumeration; at a
+        10^8-term vocabulary the scan is one map pass over ~10^8 tiny
+        rows per DISTINCT fuzzy term in the workload, which a Levenshtein
+        automaton (Lucene 4+) would beat — acceptable here because fuzzy
+        terms are interactive-query features, not batch-pipeline hot
+        paths."""
+        q = text.lower()
+        if not q:
+            raise ValueError("empty fuzzy term")
+        k = int(max_edits)
+        if k < 1:
+            raise ValueError("max_edits must be >= 1")
+        cap = max_expansions or self.PREFIX_MAX_EXPANSIONS
+        ln = F.length("term")
+        rows = (
+            self.term_dict.where(
+                ln.between(len(q) - k, len(q) + k)
+                & (F.levenshtein(F.col("term"), F.lit(q)) <= k)
+            )
             .select("term_id", "df")
             .orderBy(F.desc("df"), F.asc("term_id"))
             .limit(cap)
@@ -694,10 +737,12 @@ def search_expr(
     lut = ix.lookup_terms(words)
     term_of = {w: lut[w][0] for w in lut}
 
-    prefix_ids, pref_dfs = _expand_prefixes(ix, expr)
-    node = lower(expr, term_of, optimize, prefix_ids=prefix_ids)
+    prefix_ids, fuzzy_ids, exp_dfs = _expand_multiterm(ix, expr)
+    node = lower(
+        expr, term_of, optimize, prefix_ids=prefix_ids, fuzzy_ids=fuzzy_ids
+    )
     dfs = {tid: df for tid, df in lut.values()}
-    dfs.update(pref_dfs)
+    dfs.update(exp_dfs)
     match = ix.exclude_tombstones(eval_match(ix, node, dfs))
     if where:
         match = match.join(
@@ -714,26 +759,44 @@ def search_expr(
 def match_set_expr(ix: Index, expr: Expr, optimize: bool = True) -> DataFrame:
     words = sorted({t for lit_ in _literal_texts(expr) for t in tokenize_terms(lit_)})
     lut = ix.lookup_terms(words)
-    prefix_ids, pref_dfs = _expand_prefixes(ix, expr)
-    node = lower(expr, {w: lut[w][0] for w in lut}, optimize, prefix_ids=prefix_ids)
+    prefix_ids, fuzzy_ids, exp_dfs = _expand_multiterm(ix, expr)
+    node = lower(
+        expr,
+        {w: lut[w][0] for w in lut},
+        optimize,
+        prefix_ids=prefix_ids,
+        fuzzy_ids=fuzzy_ids,
+    )
     dfs = {tid: df for tid, df in lut.values()}
-    dfs.update(pref_dfs)
+    dfs.update(exp_dfs)
     return ix.exclude_tombstones(eval_match(ix, node, dfs)).orderBy(*MATCH_COLS)
 
 
-def _expand_prefixes(
+def _expand_multiterm(
     ix: Index, expr: Expr
-) -> tuple[dict[str, tuple[int, ...]], dict[int, int]]:
-    """Every Prefix node's dictionary expansion, plus the expanded terms'
-    dfs (they participate in BM25 scoring exactly like spelled-out OR
-    keywords — score_matches would otherwise default their df to 0)."""
+) -> tuple[
+    dict[str, tuple[int, ...]],
+    dict[tuple[str, int], tuple[int, ...]],
+    dict[int, int],
+]:
+    """Every Prefix / Fuzzy node's dictionary expansion, plus the
+    expanded terms' dfs (they participate in BM25 scoring exactly like
+    spelled-out OR keywords — score_matches would otherwise default
+    their df to 0)."""
     prefix_ids: dict[str, tuple[int, ...]] = {}
-    pref_dfs: dict[int, int] = {}
+    fuzzy_ids: dict[tuple[str, int], tuple[int, ...]] = {}
+    exp_dfs: dict[int, int] = {}
     for p in sorted({e.text.lower() for e in _walk(expr) if isinstance(e, Prefix)}):
         pairs = ix.expand_prefix(p)
         prefix_ids[p] = tuple(tid for tid, _ in pairs)
-        pref_dfs.update(pairs)
-    return prefix_ids, pref_dfs
+        exp_dfs.update(pairs)
+    for key in sorted(
+        {(e.text.lower(), int(e.max_edits)) for e in _walk(expr) if isinstance(e, Fuzzy)}
+    ):
+        pairs = ix.expand_fuzzy(key[0], key[1])
+        fuzzy_ids[key] = tuple(tid for tid, _ in pairs)
+        exp_dfs.update(pairs)
+    return prefix_ids, fuzzy_ids, exp_dfs
 
 
 def _walk(expr: Expr):
@@ -879,6 +942,6 @@ def _literal_texts(expr: Expr) -> list[str]:
         return [expr.text]
     if isinstance(expr, Near):
         return [expr.lhs, expr.rhs]
-    if isinstance(expr, Prefix):
+    if isinstance(expr, (Fuzzy, Prefix)):
         return []  # expanded against the dictionary, not tokenized
     return _literal_texts(expr.lhs) + _literal_texts(expr.rhs)

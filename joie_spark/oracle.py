@@ -35,6 +35,7 @@ from .plans.parser import (
     And,
     AndNot,
     Expr,
+    Fuzzy,
     Literal,
     Near,
     Or,
@@ -168,6 +169,22 @@ class OracleIndex:
         ids.sort(key=lambda tid: (-self.df.get(tid, 0), tid))
         return sorted(ids[:cap])
 
+    def expand_fuzzy(self, text: str, max_edits: int = 1, cap: int = 1024) -> list[int]:
+        """Dictionary expansion for a Fuzzy node — same rule as
+        Index.expand_fuzzy (never analyzed; length band + Levenshtein ≤
+        max_edits; df-heaviest `cap` kept, ties term-id ASC)."""
+        q = text.lower()
+        if not q or max_edits < 1:
+            raise ValueError("fuzzy needs a non-empty term and max_edits >= 1")
+        ids = [
+            tid
+            for t, tid in self.term_id.items()
+            if abs(len(t) - len(q)) <= max_edits
+            and _levenshtein(t, q) <= max_edits
+        ]
+        ids.sort(key=lambda tid: (-self.df.get(tid, 0), tid))
+        return sorted(ids[:cap])
+
     def _near_matches(self, expr: Near) -> set[tuple[int, int]]:
         lw = self.query_term_ids(expr.lhs)
         rw = self.query_term_ids(expr.rhs)
@@ -193,6 +210,12 @@ class OracleIndex:
             return {
                 key
                 for tid in self.expand_prefix(expr.text)
+                for key in self.postings.get(tid, ())
+            }
+        if isinstance(expr, Fuzzy):
+            return {
+                key
+                for tid in self.expand_fuzzy(expr.text, expr.max_edits)
                 for key in self.postings.get(tid, ())
             }
         if isinstance(expr, Near):
@@ -262,12 +285,28 @@ class OracleIndex:
             }
         if isinstance(expr, Prefix):
             return set(self.expand_prefix(expr.text))
+        if isinstance(expr, Fuzzy):
+            return set(self.expand_fuzzy(expr.text, expr.max_edits))
         if isinstance(expr, AndNot):
             return self._scoring_term_ids(expr.lhs)  # prohibited side never scores
         return self._scoring_term_ids(expr.lhs) | self._scoring_term_ids(expr.rhs)
 
     def match_set(self, query: str) -> set[tuple[int, int]]:
         return self._eval(parse_query(query))
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Plain Levenshtein (unit insert/delete/substitute, no transposition)
+    — the same metric as Spark's `levenshtein` expression."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
 
 
 def _find_subsequence(haystack: list[int], needle: list[int]) -> list[int]:

@@ -24,7 +24,7 @@ from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame
 
-from .parser import And, AndNot, Expr, Literal, Near, Or, Prefix
+from .parser import And, AndNot, Expr, Fuzzy, Literal, Near, Or, Prefix
 
 
 def _merge_pred(a: str | None, b: str | None) -> str | None:
@@ -77,6 +77,20 @@ class QueryBuilder:
         if not text or not text.strip():
             raise ValueError("prefix() needs a non-empty prefix")
         return self._add(Prefix(text.strip()))
+
+    def fuzzy(self, text: str, max_edits: int = 1) -> "QueryBuilder":
+        """Fuzzy term clause `text~`: matches turns containing ANY
+        dictionary term within `max_edits` Levenshtein distance of `text`
+        (lowercased verbatim, never stemmed — like prefix()), scored like
+        the spelled-out keyword OR of the expansion.  One JVM-codegen
+        dictionary scan with a length-band prefilter; capped at the
+        df-heaviest Index.PREFIX_MAX_EXPANSIONS terms.
+        Beyond-reference extension."""
+        if not text or not text.strip():
+            raise ValueError("fuzzy() needs a non-empty term")
+        if max_edits < 1:
+            raise ValueError("fuzzy() max_edits must be >= 1")
+        return self._add(Fuzzy(text.strip(), int(max_edits)))
 
     def near(
         self, lhs: str, rhs: str, slop: int = 3, ordered: bool = False
@@ -206,7 +220,7 @@ def _literal_texts(expr: Expr) -> list[str]:
         return [expr.text]
     if isinstance(expr, Near):
         return [expr.lhs, expr.rhs]  # both sides keyword-highlighted
-    if isinstance(expr, Prefix):
+    if isinstance(expr, (Fuzzy, Prefix)):
         return []  # dictionary-expanded, not highlighted
     if isinstance(expr, AndNot):
         return _literal_texts(expr.lhs)  # prohibited terms never highlight

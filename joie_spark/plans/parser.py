@@ -69,6 +69,17 @@ class Prefix(Expr):
 
 
 @dataclass(frozen=True)
+class Fuzzy(Expr):
+    """Fuzzy term query `text~`: matches every dictionary term within
+    ``max_edits`` Levenshtein distance of ``text`` (lowercased verbatim —
+    like Prefix, fuzzy patterns are never analyzed/stemmed).  Beyond-
+    reference extension — builder-only."""
+
+    text: str
+    max_edits: int = 1
+
+
+@dataclass(frozen=True)
 class Near(Expr):
     """Proximity query: single words ``lhs`` and ``rhs`` co-occur in one
     turn within ``slop`` token positions (|p_r − p_l| ≤ slop; ordered ⇒

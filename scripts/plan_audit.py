@@ -108,6 +108,11 @@ def main() -> None:
         and "CartesianProduct" not in plan_diff
         and "BroadcastNestedLoopJoin" not in plan_diff
     )
+    plan_fz = explain_str(eng.builder().fuzzy("roll", 1).top_k(5))
+    results["fuzzy_codegen_no_python"] = (
+        "BatchEvalPython" not in plan_fz
+        and "TakeOrderedAndProject" in plan_fz
+    )
 
     # 5. batch path: partition-pruned scans, no cross join, and the
     # phrase-free queries run on the COMPRESSED blocks table (VERDICT r2):

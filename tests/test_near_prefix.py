@@ -228,3 +228,50 @@ def test_andnot_composes(t1_engine, t1_oracle):
     expr = Or(AndNot(Literal("roll"), Literal("dice")), Literal("crystal kingdom"))
     assert _spark_matches(b.matches()) == t1_oracle._eval(expr)
     assert _spark_topk(b.top_k(10)) == t1_oracle.search_expr(expr, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) term queries — plans/parser.py Fuzzy, lowered to the
+# same PKeywords scan as prefix via Index.expand_fuzzy (length-band +
+# levenshtein dictionary scan, df-heaviest cap).
+
+from joie_spark.plans.parser import Fuzzy  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "word,k",
+    [("roll", 1), ("dice", 1), ("rol", 1), ("roll", 2), ("xqzzyq", 1)],
+)
+def test_fuzzy_rank_identity(word, k, t1_engine, t1_oracle):
+    b = t1_engine.builder().fuzzy(word, max_edits=k)
+    expr = Fuzzy(word, k)
+    assert _spark_matches(b.matches()) == t1_oracle._eval(expr)
+    assert _spark_topk(b.top_k(10)) == t1_oracle.search_expr(expr, k=10)
+
+
+def test_fuzzy_expansion_matches_oracle_ids(t1_engine, t1_oracle):
+    """Engine and oracle assign the same dense ids (sorted vocab from 1),
+    so the expansions must agree id-for-id; distance 0 (the exact term)
+    is always included; wider max_edits only grows the set."""
+    e1 = sorted(tid for tid, _ in t1_engine.index.expand_fuzzy("roll", 1))
+    assert e1 == t1_oracle.expand_fuzzy("roll", 1)
+    assert t1_oracle.term_id["roll"] in e1
+    e2 = sorted(tid for tid, _ in t1_engine.index.expand_fuzzy("roll", 2))
+    assert set(e1) <= set(e2)
+    assert len(e2) > len(e1), "fixture too weak: no distance-2 neighbors"
+
+
+def test_fuzzy_rejects_bad_args(t1_engine):
+    with pytest.raises(ValueError):
+        t1_engine.builder().fuzzy("  ")
+    with pytest.raises(ValueError):
+        t1_engine.builder().fuzzy("roll", max_edits=0)
+    with pytest.raises(ValueError):
+        t1_engine.index.expand_fuzzy("", 1)
+
+
+def test_fuzzy_composes(t1_engine, t1_oracle):
+    b = t1_engine.builder().fuzzy("roll", 1) - t1_engine.builder().keywords("dice")
+    expr = AndNot(Fuzzy("roll", 1), Literal("dice"))
+    assert _spark_matches(b.matches()) == t1_oracle._eval(expr)
+    assert _spark_topk(b.top_k(10)) == t1_oracle.search_expr(expr, k=10)
