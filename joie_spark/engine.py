@@ -146,6 +146,43 @@ class Engine:
             direct_threshold=direct_threshold, stats_out=stats_out,
         )
 
+    def search_many_built(
+        self,
+        builders: list,
+        k: int = 10,
+        where: str | None = None,
+        where_doc: str | None = None,
+        optimize: bool = True,
+        mode: str = "auto",
+        probe_blocks: int = 8,
+        direct_threshold: int = 32768,
+    ) -> DataFrame:
+        """search_many over QueryBuilder objects — batches the FULL query
+        algebra incl. the builder-only extensions (near/prefix/fuzzy/
+        and_not), bit-identical per query to `builder.top_k(k)`.
+        Prefix/fuzzy queries ride the pruned blocks path; near/and_not
+        queries auto-route to the postings path (positions / prohibited-
+        side presence bits live there).  Per-builder filters are refused
+        (the batch shares one candidate scan; pass batch-wide `where` /
+        `where_doc` instead)."""
+        from .operators.batch import search_many_exprs
+
+        exprs = []
+        for i, b in enumerate(builders):
+            if b._where or b._where_doc:
+                raise ValueError(
+                    f"builder {i} carries filters; search_many_built "
+                    "filters are batch-wide (where/where_doc args)"
+                )
+            if b._expr is None:
+                raise ValueError(f"builder {i} is empty")
+            exprs.append(b._expr)
+        return search_many_exprs(
+            self.index, exprs, k=k, where=where, where_doc=where_doc,
+            optimize=optimize, mode=mode, probe_blocks=probe_blocks,
+            direct_threshold=direct_threshold,
+        )
+
     def search_highlighted(
         self,
         query: str,

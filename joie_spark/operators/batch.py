@@ -67,10 +67,13 @@ from .query import (
     Index,
     PNode,
     _batch_pred_sql,
+    _expand_multiterm,
     _literal_texts,
     _phrase_term_ids,
+    contains_diff,
     lower,
     plan_term_ids,
+    pred_term_ids,
 )
 
 OUT_SCHEMA = T.StructType(
@@ -696,7 +699,13 @@ def _postings_path(
     where_doc: str | None,
 ) -> DataFrame:
     avgdl = ix.stats["avgdl"]
-    all_ids = sorted({t for _q, _n, qids in items for t in qids})
+    # the candidate scan + bitmask layout must cover every PREDICATE term
+    # (incl. a PDiff's prohibited side — rhs presence bits are read by
+    # NOT(rhs) even though rhs never scores); scoring stays on each
+    # item's qids (plan_term_ids), a subset
+    all_ids = sorted(
+        {t for _q, node, _qids in items for t in pred_term_ids(node) if t > 0}
+    )
     phrase_ids = sorted({t for _q, node, _qids in items for t in _phrase_term_ids(node)})
     bitpos = {t: i for i, t in enumerate(all_ids)}
     n_words = (len(all_ids) + 63) // 64
@@ -735,13 +744,50 @@ def search_many(
     direct_threshold blocks skip the probe/θ phases and decode every
     candidate block in one pass (pruning only pays off when the block
     count is large; set 0 to force the full WAND machinery)."""
-    exprs = [parse_query(q) for q in queries]
+    return search_many_exprs(
+        ix, [parse_query(q) for q in queries], k=k, where=where,
+        where_doc=where_doc, optimize=optimize, mode=mode,
+        probe_blocks=probe_blocks, direct_threshold=direct_threshold,
+        stats_out=stats_out,
+    )
+
+
+def search_many_exprs(
+    ix: Index,
+    exprs: list,
+    k: int = 10,
+    where: str | None = None,
+    where_doc: str | None = None,
+    optimize: bool = True,
+    mode: str = "auto",
+    probe_blocks: int = 8,
+    direct_threshold: int = 32768,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """search_many over pre-built ASTs — the batch twin of search_expr,
+    covering the full query algebra incl. the builder-only extensions
+    (Near/Prefix/Fuzzy/AndNot).  Routing: prefix/fuzzy lower to plain
+    keyword scans and ride the blocks path (pruning stays sound —
+    predicate terms == scoring terms); near queries need positions and
+    auto-route to the postings path like phrases; AndNot queries force
+    the postings path because the blocks machinery's candidate scan and
+    pair-granular pruned decode cover only SCORING terms, which would
+    leave the prohibited side's presence bits silently unset."""
     words = sorted(
         {t for e in exprs for lit_ in _literal_texts(e) for t in tokenize_terms(lit_)}
     )
     lut = ix.lookup_terms(words)
     term_of = {w: lut[w][0] for w in lut}
-    nodes = [lower(e, term_of, optimize) for e in exprs]
+    nodes = []
+    dfs = {tid: df for tid, df in lut.values()}
+    prefix_ids, fuzzy_ids, exp_dfs = {}, {}, {}
+    for e in exprs:
+        _expand_multiterm(ix, e, prefix_ids, fuzzy_ids, exp_dfs)
+    dfs.update(exp_dfs)
+    for e in exprs:
+        nodes.append(
+            lower(e, term_of, optimize, prefix_ids=prefix_ids, fuzzy_ids=fuzzy_ids)
+        )
     items = []
     for qid, node in enumerate(nodes):
         qids = sorted({t for t in plan_term_ids(node) if t > 0})
@@ -751,12 +797,14 @@ def search_many(
         return ix.spark.createDataFrame([], OUT_SCHEMA)
 
     n_docs = ix.stats["N"]
-    dfs = {tid: df for tid, df in lut.values()}
     all_ids = sorted({t for _q, _n, qids in items for t in qids})
     idf = {t: bm25_idf(n_docs, dfs.get(t, 0)) for t in all_ids}
 
-    phrase_items = [it for it in items if _phrase_term_ids(it[1])]
-    flat_items = [it for it in items if not _phrase_term_ids(it[1])]
+    def needs_postings(node: PNode) -> bool:
+        return bool(_phrase_term_ids(node)) or contains_diff(node)
+
+    phrase_items = [it for it in items if needs_postings(it[1])]
+    flat_items = [it for it in items if not needs_postings(it[1])]
     if mode == "postings":
         phrase_items, flat_items = items, []
     elif mode == "auto" and flat_items and phrase_items:
@@ -772,8 +820,9 @@ def search_many(
             phrase_items, flat_items = items, []
     elif mode == "blocks" and phrase_items:
         raise ValueError(
-            "mode='blocks' cannot answer multi-term phrase queries "
-            "(positions live in the postings table)"
+            "mode='blocks' cannot answer multi-term phrase / near / "
+            "and_not queries (positions and prohibited-side presence "
+            "bits live in the postings table)"
         )
     elif mode not in ("auto", "blocks"):
         raise ValueError(f"unknown mode={mode!r}")

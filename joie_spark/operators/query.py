@@ -186,6 +186,30 @@ def plan_term_ids(node: PNode) -> set[int]:
     return {t for c in node.children for t in plan_term_ids(c)}
 
 
+def pred_term_ids(node: PNode) -> set[int]:
+    """Every term id the boolean PREDICATE references — unlike
+    plan_term_ids this includes PDiff's prohibited side: evaluating
+    NOT(rhs) needs rhs presence bits, even though rhs never scores."""
+    if isinstance(node, PDiff):
+        return pred_term_ids(node.left) | pred_term_ids(node.right)
+    if isinstance(node, (PAnd, POr)):
+        return {t for c in node.children for t in pred_term_ids(c)}
+    return plan_term_ids(node)
+
+
+def contains_diff(node: PNode) -> bool:
+    """True when the plan holds a PDiff anywhere — the batch router sends
+    such queries down the postings path, whose candidate scan covers the
+    prohibited side's vocabulary (the blocks path's scan and pair-granular
+    pruned decode cover only SCORING terms, which would leave the rhs
+    presence bits silently unset)."""
+    if isinstance(node, PDiff):
+        return True
+    if isinstance(node, (PAnd, POr)):
+        return any(contains_diff(c) for c in node.children)
+    return False
+
+
 def _phrase_term_ids(node: PNode) -> set[int]:
     """Terms needing POSITION arrays (multi-term phrase adjacency only,
     plus both sides of a proximity node)."""
@@ -773,7 +797,11 @@ def match_set_expr(ix: Index, expr: Expr, optimize: bool = True) -> DataFrame:
 
 
 def _expand_multiterm(
-    ix: Index, expr: Expr
+    ix: Index,
+    expr: Expr,
+    prefix_ids: dict[str, tuple[int, ...]] | None = None,
+    fuzzy_ids: dict[tuple[str, int], tuple[int, ...]] | None = None,
+    exp_dfs: dict[int, int] | None = None,
 ) -> tuple[
     dict[str, tuple[int, ...]],
     dict[tuple[str, int], tuple[int, ...]],
@@ -782,17 +810,23 @@ def _expand_multiterm(
     """Every Prefix / Fuzzy node's dictionary expansion, plus the
     expanded terms' dfs (they participate in BM25 scoring exactly like
     spelled-out OR keywords — score_matches would otherwise default
-    their df to 0)."""
-    prefix_ids: dict[str, tuple[int, ...]] = {}
-    fuzzy_ids: dict[tuple[str, int], tuple[int, ...]] = {}
-    exp_dfs: dict[int, int] = {}
+    their df to 0).  Pass the returned dicts back in when expanding a
+    BATCH of expressions: duplicate patterns across queries then cost
+    one dictionary scan, not one per query."""
+    prefix_ids = {} if prefix_ids is None else prefix_ids
+    fuzzy_ids = {} if fuzzy_ids is None else fuzzy_ids
+    exp_dfs = {} if exp_dfs is None else exp_dfs
     for p in sorted({e.text.lower() for e in _walk(expr) if isinstance(e, Prefix)}):
+        if p in prefix_ids:
+            continue
         pairs = ix.expand_prefix(p)
         prefix_ids[p] = tuple(tid for tid, _ in pairs)
         exp_dfs.update(pairs)
     for key in sorted(
         {(e.text.lower(), int(e.max_edits)) for e in _walk(expr) if isinstance(e, Fuzzy)}
     ):
+        if key in fuzzy_ids:
+            continue
         pairs = ix.expand_fuzzy(key[0], key[1])
         fuzzy_ids[key] = tuple(tid for tid, _ in pairs)
         exp_dfs.update(pairs)

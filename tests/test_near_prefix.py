@@ -275,3 +275,87 @@ def test_fuzzy_composes(t1_engine, t1_oracle):
     expr = AndNot(Fuzzy("roll", 1), Literal("dice"))
     assert _spark_matches(b.matches()) == t1_oracle._eval(expr)
     assert _spark_topk(b.top_k(10)) == t1_oracle.search_expr(expr, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Batch evaluation of the full algebra — Engine.search_many_built /
+# operators/batch.py search_many_exprs must be bit-identical per query to
+# the single-query builder path, with the documented routing.
+
+
+def _by_qid(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["turn_idx"], r["score"])
+        )
+    return out
+
+
+def _algebra_builders(E):
+    return [
+        E.builder().keywords("roll", "dice"),
+        E.builder().phrase("crystal kingdom"),
+        E.builder().near("roll", "dice", slop=3),
+        E.builder().prefix("ro"),
+        E.builder().fuzzy("dice", 1),
+        E.builder().keywords("roll") - E.builder().keywords("dice"),
+        E.builder().prefix("ro") - E.builder().phrase("crystal kingdom"),
+        E.builder().near("crystal", "kingdom", slop=2, ordered=True)
+        & E.builder().keywords("game", "dice"),
+    ]
+
+
+@pytest.mark.parametrize("mode", ["auto", "postings"])
+def test_search_many_built_bit_identical(mode, t1_engine):
+    builders = _algebra_builders(t1_engine)
+    got = _by_qid(t1_engine.search_many_built(builders, k=10, mode=mode).collect())
+    for i, b in enumerate(builders):
+        want = _spark_topk(b.top_k(10))
+        assert got.get(i, []) == want, f"query {i} differs in mode={mode}"
+
+
+def test_search_many_built_blocks_mode(t1_engine):
+    flat = [t1_engine.builder().prefix("ro"), t1_engine.builder().fuzzy("dice", 1)]
+    got = _by_qid(t1_engine.search_many_built(flat, k=10, mode="blocks").collect())
+    for i, b in enumerate(flat):
+        assert got.get(i, []) == _spark_topk(b.top_k(10))
+    with pytest.raises(ValueError, match="blocks"):
+        t1_engine.search_many_built(
+            [t1_engine.builder().near("roll", "dice")], mode="blocks"
+        ).collect()
+    with pytest.raises(ValueError, match="blocks"):
+        t1_engine.search_many_built(
+            [t1_engine.builder().keywords("roll") - t1_engine.builder().keywords("dice")],
+            mode="blocks",
+        ).collect()
+
+
+def test_search_many_built_forced_pruning_bit_identical(t1_engine):
+    """direct_threshold=0 forces the 3-phase WAND machinery for the flat
+    (prefix/fuzzy) queries — results must stay bit-identical."""
+    builders = _algebra_builders(t1_engine)
+    got = _by_qid(
+        t1_engine.search_many_built(
+            builders, k=10, direct_threshold=0, probe_blocks=4
+        ).collect()
+    )
+    for i, b in enumerate(builders):
+        assert got.get(i, []) == _spark_topk(b.top_k(10)), f"query {i} (pruned)"
+
+
+def test_search_many_built_batchwide_filter(t1_engine):
+    builders = [
+        t1_engine.builder().near("roll", "dice", slop=4),
+        t1_engine.builder().keywords("roll") - t1_engine.builder().keywords("dice"),
+    ]
+    got = _by_qid(
+        t1_engine.search_many_built(builders, k=10, where="role = 'user'").collect()
+    )
+    for i, b in enumerate(builders):
+        want = _spark_topk(b.filter_turns("role = 'user'").top_k(10))
+        assert got.get(i, []) == want
+    with pytest.raises(ValueError, match="filters"):
+        t1_engine.search_many_built(
+            [t1_engine.builder().keywords("roll").filter_turns("role='user'")]
+        )
