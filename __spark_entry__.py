@@ -170,6 +170,27 @@ def q_near_window(spark, sf_dir):
     return m.where(near).select("doc_id")
 
 
+def q_percolate(spark, sf_dir):
+    """Standing-query routing (operators/percolate.py): every registered
+    query's predicate evaluated map-side per document — zero shuffles
+    (plan-audited percolate_no_exchange); identical plan runs on the
+    ingest stream.  Registered set: a conjunction, a phrase, and a
+    prefix-extended OR."""
+    from joie_spark.operators.percolate import percolate
+    from joie_spark.plans.parser import Literal, Or, Prefix
+
+    docs = _docs(spark, sf_dir)
+    queries = [
+        "fast AND slow",
+        '"fast table"',
+        Or(Prefix("st"), Literal("window")),
+    ]
+    return percolate(
+        docs.select("doc_id", F.lower("text").alias("text")), queries,
+        keep=["doc_id"],
+    )
+
+
 def q_fuzzy_bm25(spark, sf_dir):
     """Fuzzy term query `fast~1` scored with full BM25 over its edit-
     distance expansion (operators/query.py Index.expand_fuzzy →
@@ -1030,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_bm25": q_prefix_bm25,
         "fuzzy_bm25": q_fuzzy_bm25,
         "and_not": q_and_not,
+        "percolate_route": q_percolate,
         "bm25_topk": q_bm25_topk,
         "bm25_batch": q_bm25_batch,
         "union_dedup": q_union_dedup,
@@ -1601,6 +1623,19 @@ def oracle_sql() -> dict[str, str]:
                          * (tf.tf * 2.2)
                          / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl))) DESC, tf.doc_id
             LIMIT 10""",
+        "percolate_route": f"""
+            WITH tok AS (SELECT doc_id, {TOK_DD} AS ts,
+                         ' ' || array_to_string({TOK_DD}, ' ') || ' ' AS j
+                         FROM documents)
+            SELECT 0 AS query_id, doc_id FROM tok
+              WHERE list_contains(ts, 'fast') AND list_contains(ts, 'slow')
+            UNION ALL
+            SELECT 1 AS query_id, doc_id FROM tok
+              WHERE contains(j, ' fast table ')
+            UNION ALL
+            SELECT 2 AS query_id, doc_id FROM tok
+              WHERE len(list_filter(ts, t -> t LIKE 'st%')) > 0
+                 OR list_contains(ts, 'window')""",
         "and_not": f"""
             SELECT DISTINCT doc_id FROM documents
             WHERE list_contains({TOK_DD}, 'fast')

@@ -113,6 +113,19 @@ def main() -> None:
         "BatchEvalPython" not in plan_fz
         and "TakeOrderedAndProject" in plan_fz
     )
+    # 4c. percolation (operators/percolate.py): standing queries are a
+    # pure map-side plan — tokenizer UDF + generated predicates + explode,
+    # ZERO shuffles regardless of corpus size or query count.
+    from joie_spark.operators.percolate import percolate
+    from joie_spark.plans.parser import Near as _Near, Prefix as _Prefix
+
+    perc = percolate(
+        spark.createDataFrame(generate_rows(10, seed=7)),
+        ["roll OR dice", '"crystal kingdom"', _Near("roll", "dice", 3, False),
+         _Prefix("ro")],
+    )
+    plan_perc = explain_str(perc)
+    results["percolate_no_exchange"] = "Exchange" not in plan_perc
 
     # 5. batch path: partition-pruned scans, no cross join, and the
     # phrase-free queries run on the COMPRESSED blocks table (VERDICT r2):
