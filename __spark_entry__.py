@@ -170,6 +170,57 @@ def q_near_window(spark, sf_dir):
     return m.where(near).select("doc_id")
 
 
+def q_mlt_topk(spark, sf_dir):
+    """More-like-this (engine.py more_like_this): doc 0's top-5 terms by
+    tf·idf (global df, ties weight DESC / term ASC), run as a keyword OR
+    over the REST of the corpus with full BM25.  The term selection is a
+    bounded driver collect (5 rows) — same contract as the engine's
+    dictionary probe."""
+    docs = _docs(spark, sf_dir).withColumn("tokens", text.sql_tokens()).cache()
+    tok = docs.select("doc_id", F.explode("tokens").alias("term"))
+    dl = docs.select("doc_id", F.size("tokens").cast("long").alias("dl"))
+    st = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n, avgdl = st["n"], st["avgdl"]
+    dfc = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    tf0 = (
+        tok.where(F.col("doc_id") == 0)
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    w = (
+        F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * F.col("tf")
+    )
+    sel = [
+        r["term"]
+        for r in tf0.join(dfc, "term")
+        .select("term", w.alias("w"))
+        .orderBy(F.desc("w"), F.asc("term"))
+        .limit(5)
+        .collect()
+    ]
+    tf = (
+        tok.where((F.col("doc_id") != 0) & F.col("term").isin(sel))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    j = tf.join(dfc, "term").join(dl, "doc_id")
+    contrib = (
+        F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * F.lit(2.2))
+        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(F.sum(contrib).alias("s"))
+        .select("doc_id", F.round("s", 4).alias("score"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def q_percolate(spark, sf_dir):
     """Standing-query routing (operators/percolate.py): every registered
     query's predicate evaluated map-side per document — zero shuffles
@@ -1052,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_bm25": q_fuzzy_bm25,
         "and_not": q_and_not,
         "percolate_route": q_percolate,
+        "mlt_topk": q_mlt_topk,
         "bm25_topk": q_bm25_topk,
         "bm25_batch": q_bm25_batch,
         "union_dedup": q_union_dedup,
@@ -1613,6 +1665,31 @@ def oracle_sql() -> dict[str, str]:
             tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
                    WHERE levenshtein(term, 'fast') <= 1 GROUP BY doc_id, term),
             dfc AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+            SELECT tf.doc_id AS doc_id,
+                   round(sum(ln(1.0 + (st.n - dfc.df + 0.5)/(dfc.df + 0.5))
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl))), 4) AS score
+            FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+            GROUP BY tf.doc_id
+            ORDER BY sum(ln(1.0 + (st.n - dfc.df + 0.5)/(dfc.df + 0.5))
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl))) DESC, tf.doc_id
+            LIMIT 10""",
+        "mlt_topk": f"""
+            WITH tok AS (SELECT doc_id, unnest({TOK_DD}) AS term FROM documents),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+            st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            dfc AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                    FROM tok GROUP BY term),
+            tf0 AS (SELECT term, count(*)::DOUBLE AS tf FROM tok
+                    WHERE doc_id = 0 GROUP BY term),
+            sel AS (SELECT tf0.term FROM tf0 JOIN dfc USING (term) CROSS JOIN st
+                    ORDER BY ln(1.0 + (st.n - dfc.df + 0.5)/(dfc.df + 0.5))
+                             * tf0.tf DESC, tf0.term
+                    LIMIT 5),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+                   WHERE doc_id != 0 AND term IN (SELECT term FROM sel)
+                   GROUP BY doc_id, term)
             SELECT tf.doc_id AS doc_id,
                    round(sum(ln(1.0 + (st.n - dfc.df + 0.5)/(dfc.df + 0.5))
                          * (tf.tf * 2.2)

@@ -283,6 +283,55 @@ class Engine:
             out = out.join(F.broadcast(tomb), "doc_id", "left_anti")
         return out.orderBy("turn_idx")
 
+    def more_like_this(
+        self,
+        doc_id: int,
+        k: int = 10,
+        max_terms: int = 10,
+        min_df: int = 1,
+        terms_out: list | None = None,
+    ) -> DataFrame:
+        """Documents similar to `doc_id` (Lucene MoreLikeThis): take the
+        conversation's `max_terms` highest tf·idf terms (tf over the whole
+        conversation, idf from the dictionary — the exact BM25 idf), run
+        them as a keyword OR, exclude the source doc, BM25 top-k.
+
+        Driver cost is bounded: one point lookup (a conversation's turns),
+        one dictionary probe for its distinct terms; the search is the
+        ordinary pruned keyword scan.  Deterministic: ties break
+        (weight DESC, term ASC).  `terms_out` (optional list) receives the
+        chosen terms for caller display.  Raises on unknown/deleted docs
+        (dead handles, like get_doc)."""
+        from collections import Counter
+
+        from .oracle import bm25_idf
+        from .operators.query import PKeywords, eval_match, score_matches
+
+        rows = self.get_doc(doc_id).select("text").collect()
+        if not rows:
+            raise ValueError(f"doc_id {doc_id} unknown or deleted")
+        tf = Counter(t for r in rows for t in tokenize_terms(r["text"]))
+        lut = self.index.lookup_terms(list(tf))
+        weighted = sorted(
+            (
+                (tf[w] * bm25_idf(self.index.stats["N"], df), w, tid, df)
+                for w, (tid, df) in lut.items()
+                if df >= min_df
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[: int(max_terms)]
+        if terms_out is not None:
+            terms_out.extend(w for _s, w, _t, _d in weighted)
+        if not weighted:
+            return self.spark.createDataFrame([], Q.RESULT_SCHEMA)
+        ids = sorted(tid for _s, _w, tid, _d in weighted)
+        dfs = {tid: df for _s, _w, tid, df in weighted}
+        node = PKeywords(tuple(ids))
+        match = self.index.exclude_tombstones(
+            eval_match(self.index, node, dfs)
+        ).where(F.col("doc_id") != int(doc_id))
+        return score_matches(self.index, match, ids, k, dfs=dfs)
+
     def explain(self, query: str, where: str | None = None) -> str:
         return self.search(query, where=where)._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(

@@ -294,6 +294,48 @@ class OracleIndex:
     def match_set(self, query: str) -> set[tuple[int, int]]:
         return self._eval(parse_query(query))
 
+    def more_like_this(
+        self, doc_id: int, k: int = 10, max_terms: int = 10, min_df: int = 1
+    ) -> list[tuple[int, int, float]]:
+        """Engine.more_like_this twin: conversation-level tf · bm25 idf
+        term selection (ties weight DESC, term ASC), keyword OR over the
+        picks, source doc excluded, BM25 top-k."""
+        term_of = {tid: t for t, tid in self.term_id.items()}
+        tf: dict[int, int] = {}
+        for (d, _turn), turn in self.turns.items():
+            if d == doc_id:
+                for tid in turn.terms:
+                    tf[tid] = tf.get(tid, 0) + 1
+        if not tf:
+            raise ValueError(f"doc_id {doc_id} unknown")
+        weighted = sorted(
+            (
+                (n * bm25_idf(self.n_turns, self.df[tid]), term_of[tid], tid)
+                for tid, n in tf.items()
+                if self.df[tid] >= min_df
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[: int(max_terms)]
+        ids = sorted(tid for _w, _t, tid in weighted)
+        matches = {
+            key
+            for tid in ids
+            for key in self.postings.get(tid, ())
+            if key[0] != doc_id
+        }
+        idf = {t: bm25_idf(self.n_turns, self.df.get(t, 0)) for t in ids}
+        scored = []
+        for key in matches:
+            turn = self.turns[key]
+            score = 0.0
+            for t in ids:
+                n = len(turn.positions.get(t, ()))
+                if n:
+                    score += bm25_term(n, turn.dl, self.avgdl, idf[t])
+            scored.append((key[0], key[1], score))
+        scored.sort(key=lambda x: (-x[2], x[0], x[1]))
+        return scored[:k]
+
 
 def _levenshtein(a: str, b: str) -> int:
     """Plain Levenshtein (unit insert/delete/substitute, no transposition)

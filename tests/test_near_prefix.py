@@ -359,3 +359,34 @@ def test_search_many_built_batchwide_filter(t1_engine):
         t1_engine.search_many_built(
             [t1_engine.builder().keywords("roll").filter_turns("role='user'")]
         )
+
+
+# ---------------------------------------------------------------------------
+# More-like-this (engine.py more_like_this) — tf·idf term selection +
+# keyword OR + source exclusion, rank-identical to the oracle twin.
+
+
+@pytest.mark.parametrize("doc_id", [1, 7, 23])
+def test_mlt_rank_identity(doc_id, t1_engine, t1_oracle):
+    got = _spark_topk(t1_engine.more_like_this(doc_id, k=10, max_terms=8))
+    want = t1_oracle.more_like_this(doc_id, k=10, max_terms=8)
+    assert got == want
+    assert all(d != doc_id for d, _t, _s in got), "source doc must be excluded"
+
+
+def test_mlt_terms_out_and_min_df(t1_engine, t1_oracle):
+    terms: list = []
+    t1_engine.more_like_this(1, k=5, max_terms=3, terms_out=terms).collect()
+    assert len(terms) == 3
+    # min_df high enough drops the rare tail from the selection
+    rare_in = any(t1_oracle.df[t1_oracle.term_id[t]] < 3 for t in terms)
+    terms2: list = []
+    t1_engine.more_like_this(1, k=5, max_terms=3, min_df=3, terms_out=terms2).collect()
+    assert all(t1_oracle.df[t1_oracle.term_id[t]] >= 3 for t in terms2)
+    if rare_in:
+        assert terms != terms2
+
+
+def test_mlt_unknown_doc_raises(t1_engine):
+    with pytest.raises(ValueError, match="unknown"):
+        t1_engine.more_like_this(999999)
