@@ -170,6 +170,21 @@ def q_near_window(spark, sf_dir):
     return m.where(near).select("doc_id")
 
 
+def q_facet_by_lang(spark, sf_dir):
+    """Facet counts over a match set (engine.py facets): docs matching
+    'fast', counted per lang, ordered n_docs DESC / value ASC — one
+    semi-join + one partial-aggregated groupBy, top-n lowers to
+    TakeOrderedAndProject."""
+    docs = _docs(spark, sf_dir).withColumn("tokens", text.sql_tokens())
+    m = docs.where(F.array_contains("tokens", "fast"))
+    return (
+        m.groupBy(F.col("lang").alias("value"))
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("value"))
+        .limit(20)
+    )
+
+
 def q_mlt_topk(spark, sf_dir):
     """More-like-this (engine.py more_like_this): doc 0's top-5 terms by
     tf·idf (global df, ties weight DESC / term ASC), run as a keyword OR
@@ -1104,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "and_not": q_and_not,
         "percolate_route": q_percolate,
         "mlt_topk": q_mlt_topk,
+        "facet_by_lang": q_facet_by_lang,
         "bm25_topk": q_bm25_topk,
         "bm25_batch": q_bm25_batch,
         "union_dedup": q_union_dedup,
@@ -1675,6 +1691,13 @@ def oracle_sql() -> dict[str, str]:
                          * (tf.tf * 2.2)
                          / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl))) DESC, tf.doc_id
             LIMIT 10""",
+        "facet_by_lang": f"""
+            SELECT lang AS value, count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM documents
+            WHERE list_contains({TOK_DD}, 'fast')
+            GROUP BY lang
+            ORDER BY n_docs DESC, value
+            LIMIT 20""",
         "mlt_topk": f"""
             WITH tok AS (SELECT doc_id, unnest({TOK_DD}) AS term FROM documents),
             dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),

@@ -332,6 +332,76 @@ class Engine:
         ).where(F.col("doc_id") != int(doc_id))
         return score_matches(self.index, match, ids, k, dfs=dfs)
 
+    def facets(
+        self,
+        query,
+        by: str = "role",
+        n: int = 20,
+        where: str | None = None,
+        where_doc: str | None = None,
+    ) -> DataFrame:
+        """Facet counts over a query's match set: (value, n_turns,
+        n_docs) per distinct value of turn column `by`, ordered n_turns
+        DESC then value ASC, top `n`.  `query` is a string (reference
+        grammar) or a QueryBuilder (full algebra).  One semi-join of the
+        match set against the turns row store (doc_id/turn_idx pushdown),
+        one partial-aggregated groupBy on `by` — no new shuffle shapes;
+        the top-n lowers to TakeOrderedAndProject."""
+        from .plans.builder import QueryBuilder
+
+        if isinstance(query, QueryBuilder):
+            match = query.matches()
+        else:
+            match = self.match_set(query)
+        joined = match.join(self.index.turns, ["doc_id", "turn_idx"], "inner")
+        if where:
+            joined = joined.where(where)
+        if where_doc:
+            joined = joined.join(
+                self.index.doc_meta.where(where_doc).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+        return (
+            joined.groupBy(F.col(by).alias("value"))
+            .agg(
+                F.count("*").alias("n_turns"),
+                F.countDistinct("doc_id").alias("n_docs"),
+            )
+            .orderBy(F.desc("n_turns"), F.asc("value"))
+            .limit(int(n))
+        )
+
+    def suggest(
+        self, word: str, n: int = 5, max_edits: int = 2
+    ) -> list[tuple[str, int, int]]:
+        """Did-you-mean: the `n` dictionary terms nearest to `word` by
+        (edit distance ASC, df DESC, term ASC) within `max_edits` —
+        [(term, df, distance)].  The word is lowercased verbatim (never
+        stemmed, like fuzzy()); exact hits come back at distance 0.  One
+        length-banded JVM-codegen dictionary scan, driver result bounded
+        at `n`."""
+        q = word.lower().strip()
+        if not q:
+            raise ValueError("suggest() needs a non-empty word")
+        k = int(max_edits)
+        ln = F.length("term")
+        rows = (
+            self.index.term_dict.where(
+                ln.between(len(q) - k, len(q) + k)
+                & (F.levenshtein(F.col("term"), F.lit(q)) <= k)
+            )
+            .select(
+                "term",
+                "df",
+                F.levenshtein(F.col("term"), F.lit(q)).alias("dist"),
+            )
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(int(n))
+            .collect()
+        )
+        return [(r["term"], r["df"], r["dist"]) for r in rows]
+
     def explain(self, query: str, where: str | None = None) -> str:
         return self.search(query, where=where)._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(

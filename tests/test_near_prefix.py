@@ -390,3 +390,63 @@ def test_mlt_terms_out_and_min_df(t1_engine, t1_oracle):
 def test_mlt_unknown_doc_raises(t1_engine):
     with pytest.raises(ValueError, match="unknown"):
         t1_engine.more_like_this(999999)
+
+
+# ---------------------------------------------------------------------------
+# Facets + suggest (engine.py) — search-UX helpers over the match set /
+# dictionary, pinned to pure-Python recomputation.
+
+
+def _oracle_facets(t1_oracle, matches, by="role", n=20):
+    from collections import Counter
+
+    turns = Counter()
+    docs = {}
+    for key in matches:
+        v = getattr(t1_oracle.turns[key], by)
+        turns[v] += 1
+        docs.setdefault(v, set()).add(key[0])
+    rows = [(v, c, len(docs[v])) for v, c in turns.items()]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:n]
+
+
+def test_facets_match_oracle(t1_engine, t1_oracle):
+    q = "roll OR dice"
+    got = [
+        (r["value"], r["n_turns"], r["n_docs"])
+        for r in t1_engine.facets(q, by="role", n=10).collect()
+    ]
+    assert got == _oracle_facets(t1_oracle, t1_oracle.match_set(q), "role", 10)
+
+
+def test_facets_builder_and_filter(t1_engine, t1_oracle):
+    b = t1_engine.builder().near("roll", "dice", slop=4)
+    got = [
+        (r["value"], r["n_turns"], r["n_docs"])
+        for r in t1_engine.facets(b, by="tool", n=5, where="role = 'user'").collect()
+    ]
+    from joie_spark.plans.parser import Near
+
+    matches = {
+        key
+        for key in t1_oracle._eval(Near("roll", "dice", 4, False))
+        if t1_oracle.turns[key].role == "user"
+    }
+    assert got == _oracle_facets(t1_oracle, matches, "tool", 5)
+
+
+def test_suggest_matches_oracle_rule(t1_engine, t1_oracle):
+    from joie_spark.oracle import _levenshtein
+
+    got = t1_engine.suggest("roll", n=5, max_edits=2)
+    cand = [
+        (t, t1_oracle.df[tid], _levenshtein(t, "roll"))
+        for t, tid in t1_oracle.term_id.items()
+        if abs(len(t) - 4) <= 2 and _levenshtein(t, "roll") <= 2
+    ]
+    cand.sort(key=lambda r: (r[2], -r[1], r[0]))
+    assert got == cand[:5]
+    assert got[0] == ("roll", t1_oracle.df[t1_oracle.term_id["roll"]], 0)
+    with pytest.raises(ValueError):
+        t1_engine.suggest("  ")
