@@ -365,6 +365,90 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def q_collapse_topk(spark, sf_dir):
+    """Conversation-collapsed top-k (engine.py search_collapsed — the
+    Lucene/ES field-collapsing shape): one row per group, ranked by its
+    best-scoring member, with the group's matching-doc count.  Docs are
+    grouped into synthetic conversations (grp_id = doc_id % 50) since
+    the documents table is single-turn.  The ENGINE twin uses a doc-keyed
+    max_by aggregation + TakeOrderedAndProject and is pinned
+    rank-identical to the Python oracle (tests/test_collapse.py); this
+    driver-plan mirror argmaxes on the ROUNDED score via a window so
+    Spark and DuckDB order bit-identically."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).withColumn("tokens", text.sql_tokens()).cache()
+    tok = docs.select("doc_id", F.explode("tokens").alias("term"))
+    dl = docs.select("doc_id", F.size("tokens").cast("long").alias("dl"))
+    st = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n, avgdl = st["n"], st["avgdl"]
+    tf = (
+        tok.where(F.col("term").isin(list(BM25_TERMS)))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    j = tf.join(dfc, "term").join(dl, "doc_id")
+    contrib = (
+        F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * F.lit(2.2))
+        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
+    )
+    scored = (
+        j.groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+        .withColumn("grp_id", F.col("doc_id") % 50)
+    )
+    w = Window.partitionBy("grp_id")
+    worder = w.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(worder))
+        .withColumn("n_matched", F.count("*").over(w))
+        .where(F.col("rn") == 1)
+        .select("grp_id", "doc_id", "score", "n_matched")
+        .orderBy(F.desc("score"), F.asc("grp_id"))
+        .limit(10)
+    )
+
+
+def q_search_after_page2(spark, sf_dir):
+    """Keyset pagination (engine.py search_after): PAGE TWO of the BM25
+    ranking fetched through the page-1 cursor — the previous page's last
+    (doc_id, score) re-injected as a filter on the scoring frame, which
+    by total-order construction equals rows 11-20 (the oracle states it
+    as OFFSET 10).  No-gap/no-overlap tiling and the engine-side cursor
+    semantics are pinned in tests/test_collapse.py; ranking here is on
+    the ROUNDED score + doc_id so both engines order bit-identically."""
+    docs = _docs(spark, sf_dir).withColumn("tokens", text.sql_tokens()).cache()
+    tok = docs.select("doc_id", F.explode("tokens").alias("term"))
+    dl = docs.select("doc_id", F.size("tokens").cast("long").alias("dl"))
+    st = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n, avgdl = st["n"], st["avgdl"]
+    tf = (
+        tok.where(F.col("term").isin(list(BM25_TERMS)))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    j = tf.join(dfc, "term").join(dl, "doc_id")
+    contrib = (
+        F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * F.lit(2.2))
+        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
+    )
+    scored = j.groupBy("doc_id").agg(F.round(F.sum(contrib), 4).alias("score"))
+    page1 = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10).collect()
+    d, s = page1[-1]["doc_id"], page1[-1]["score"]
+    after = (F.col("score") < s) | (
+        (F.col("score") == s) & (F.col("doc_id") > d)
+    )
+    return (
+        scored.where(after)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 BATCH_TERMS: dict[int, tuple[str, ...]] = {
     0: ("spark", "window", "query"),
     1: ("fast", "table", "scan"),
@@ -1122,6 +1206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_by_lang": q_facet_by_lang,
         "bm25_topk": q_bm25_topk,
         "bm25_batch": q_bm25_batch,
+        "collapse_topk": q_collapse_topk,
+        "search_after_page2": q_search_after_page2,
         "union_dedup": q_union_dedup,
         "doc_filter_agg": q_doc_filter_agg,
         "topk_longest": q_topk_longest,
@@ -1782,6 +1868,43 @@ def oracle_sql() -> dict[str, str]:
                          * (tf.tf * 2.2)
                          / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl))) DESC, tf.doc_id
             LIMIT 10""",
+        "collapse_topk": f"""
+            WITH tok AS (SELECT doc_id, unnest({TOK_DD}) AS term FROM documents),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+            st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+                   WHERE term IN ({_TERMS3}) GROUP BY doc_id, term),
+            dfc AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id AS doc_id, tf.doc_id % 50 AS grp_id,
+                     round(sum(ln(1.0 + (st.n - dfc.df + 0.5)/(dfc.df + 0.5))
+                           * (tf.tf * 2.2)
+                           / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl))), 4) AS score
+              FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id),
+            g AS (SELECT grp_id, doc_id, score,
+                         row_number() OVER (PARTITION BY grp_id
+                                            ORDER BY score DESC, doc_id) AS rn,
+                         count(*) OVER (PARTITION BY grp_id) AS n_matched
+                  FROM scored)
+            SELECT grp_id, doc_id, score, n_matched FROM g WHERE rn = 1
+            ORDER BY score DESC, grp_id LIMIT 10""",
+        "search_after_page2": f"""
+            WITH tok AS (SELECT doc_id, unnest({TOK_DD}) AS term FROM documents),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+            st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+                   WHERE term IN ({_TERMS3}) GROUP BY doc_id, term),
+            dfc AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id AS doc_id,
+                     round(sum(ln(1.0 + (st.n - dfc.df + 0.5)/(dfc.df + 0.5))
+                           * (tf.tf * 2.2)
+                           / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl))), 4) AS score
+              FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id)
+            SELECT doc_id, score FROM scored
+            ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10""",
         "bm25_batch": f"""
             WITH tok AS (SELECT doc_id, unnest({TOK_DD}) AS term FROM documents),
             dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),

@@ -109,6 +109,70 @@ class Engine:
             optimize=optimize,
         )
 
+    def search_collapsed(
+        self,
+        query,
+        k: int = 10,
+        where: str | None = None,
+        where_doc: str | None = None,
+        optimize: bool = True,
+    ) -> DataFrame:
+        """Conversation-collapsed top-k (Lucene/ES field collapsing): one
+        row per DOCUMENT, ranked by its best-scoring matching turn →
+        (doc_id, turn_idx, score, n_matched).  `query` is a string
+        (reference grammar) or a QueryBuilder (full algebra; its own
+        filters AND with the arguments).  Collapse must score the whole
+        match set (any turn could be its document's best — the same
+        reason ES collapse scores all hits), so it rides the exhaustive
+        scorer: one extra doc_id groupBy, top-k via
+        TakeOrderedAndProject.  Rank-identity vs the Python oracle:
+        tests/test_collapse.py."""
+        expr, where, where_doc = self._coerce_query(query, where, where_doc)
+        return Q.search_expr_collapsed(
+            self.index, expr, k=k, where=where, where_doc=where_doc,
+            optimize=optimize,
+        )
+
+    def search_after(
+        self,
+        query,
+        cursor: tuple[int, int, float] | None,
+        k: int = 10,
+        where: str | None = None,
+        where_doc: str | None = None,
+        optimize: bool = True,
+    ) -> DataFrame:
+        """Keyset pagination: the next `k` results strictly after
+        `cursor` = (doc_id, turn_idx, score) — pass the previous page's
+        last result row back verbatim — in the engine's total order
+        (score DESC, doc_id ASC, turn_idx ASC).  cursor=None is page one
+        (== search()).
+        Page N costs the same as page 1 (the cursor is a filter on the
+        scoring frame, not an OFFSET that re-sorts every earlier page);
+        pages tile the full ranking with no gaps or overlaps
+        (tests/test_collapse.py)."""
+        expr, where, where_doc = self._coerce_query(query, where, where_doc)
+        return Q.search_expr_after(
+            self.index, expr, cursor, k=k, where=where, where_doc=where_doc,
+            optimize=optimize,
+        )
+
+    def _coerce_query(
+        self, query, where: str | None, where_doc: str | None
+    ) -> tuple[Expr, str | None, str | None]:
+        """str → parsed AST; QueryBuilder → its AST with its filters
+        conjoined onto the caller's (the builder's whole-query filter
+        contract)."""
+        from .plans.builder import QueryBuilder, _merge_pred
+
+        if isinstance(query, QueryBuilder):
+            return (
+                query._require_expr(),
+                _merge_pred(query._where, where),
+                _merge_pred(query._where_doc, where_doc),
+            )
+        return parse_query(query), where, where_doc
+
     def search_many(
         self,
         queries: list[str],
@@ -341,12 +405,14 @@ class Engine:
         where_doc: str | None = None,
     ) -> DataFrame:
         """Facet counts over a query's match set: (value, n_turns,
-        n_docs) per distinct value of turn column `by`, ordered n_turns
-        DESC then value ASC, top `n`.  `query` is a string (reference
-        grammar) or a QueryBuilder (full algebra).  One semi-join of the
-        match set against the turns row store (doc_id/turn_idx pushdown),
-        one partial-aggregated groupBy on `by` — no new shuffle shapes;
-        the top-n lowers to TakeOrderedAndProject."""
+        n_docs) per distinct value of turn column or SQL expression `by`
+        (e.g. "role", or "cast(date_trunc('day', ts) as date)" for a
+        date-histogram facet), ordered n_turns DESC then value ASC, top
+        `n`.  `query` is a string (reference grammar) or a QueryBuilder
+        (full algebra).  One semi-join of the match set against the
+        turns row store (doc_id/turn_idx pushdown), one
+        partial-aggregated groupBy on `by` — no new shuffle shapes; the
+        top-n lowers to TakeOrderedAndProject."""
         from .plans.builder import QueryBuilder
 
         if isinstance(query, QueryBuilder):
@@ -363,7 +429,7 @@ class Engine:
                 "left_semi",
             )
         return (
-            joined.groupBy(F.col(by).alias("value"))
+            joined.groupBy(F.expr(by).alias("value"))
             .agg(
                 F.count("*").alias("n_turns"),
                 F.countDistinct("doc_id").alias("n_docs"),

@@ -648,16 +648,17 @@ def eval_match(
 # BM25 scoring (bit-identical to oracle.bm25_term fold)
 
 
-def score_matches(
+def scored_matches(
     ix: Index,
     match: DataFrame,
     qterm_ids: list[int],
-    k: int = 10,
     dfs: dict[int, int] | None = None,
 ) -> DataFrame:
-    """BM25 score match set over unique query terms → top-k DataFrame.
+    """BM25-score a match set over unique query terms → UNRANKED
+    (doc_id, turn_idx, score), one row per matching turn — the shared
+    scoring frame behind score_matches (top-k), search_expr_collapsed
+    (per-conversation best) and search_expr_after (keyset pagination).
 
-    The top-k sort+limit lowers to TakeOrderedAndProject (no full sort).
     `dfs` (term_id → df) avoids a second dictionary read when the caller
     already looked the terms up."""
     qids = sorted({t for t in qterm_ids if t > 0})
@@ -709,15 +710,27 @@ def score_matches(
         ),
     )
 
-    scored = cand.select(
-        "doc_id", "turn_idx", score.alias("score")
-    )
     # matched turns containing none of the scoring terms (impossible here:
     # every match contains ≥1 query term) would be dropped by the semi-join;
     # boolean semantics guarantee ≥1 term per match, so sets agree.
-    return scored.orderBy(
-        F.desc("score"), F.asc("doc_id"), F.asc("turn_idx")
-    ).limit(k)
+    return cand.select("doc_id", "turn_idx", score.alias("score"))
+
+
+def score_matches(
+    ix: Index,
+    match: DataFrame,
+    qterm_ids: list[int],
+    k: int = 10,
+    dfs: dict[int, int] | None = None,
+) -> DataFrame:
+    """BM25 score match set over unique query terms → top-k DataFrame.
+
+    The top-k sort+limit lowers to TakeOrderedAndProject (no full sort)."""
+    return (
+        scored_matches(ix, match, qterm_ids, dfs=dfs)
+        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("turn_idx"))
+        .limit(k)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -757,6 +770,20 @@ def search_expr(
 ) -> DataFrame:
     """search() over a pre-built AST — the programmatic QueryBuilder's
     evaluation path (plans/builder.py), shared with the string parser."""
+    match, qids, dfs = _plan_search(ix, expr, where, where_doc, optimize)
+    return score_matches(ix, match, qids, k, dfs=dfs)
+
+
+def _plan_search(
+    ix: Index,
+    expr: Expr,
+    where: str | None,
+    where_doc: str | None,
+    optimize: bool,
+) -> tuple[DataFrame, list[int], dict[int, int]]:
+    """Shared front half of every exhaustive-path entry point: dictionary
+    lookup → multi-term expansion → lower → boolean match set (tombstones
+    excluded, filters semi-joined) → (match, scoring term ids, dfs)."""
     words = sorted({t for lit_ in _literal_texts(expr) for t in tokenize_terms(lit_)})
     lut = ix.lookup_terms(words)
     term_of = {w: lut[w][0] for w in lut}
@@ -777,7 +804,90 @@ def search_expr(
             ix.doc_meta.where(where_doc).select("doc_id"), "doc_id", "left_semi"
         )
     qids = sorted({t for t in plan_term_ids(node) if t > 0})
-    return score_matches(ix, match, qids, k, dfs=dfs)
+    return match, qids, dfs
+
+
+def search_expr_collapsed(
+    ix: Index,
+    expr: Expr,
+    k: int = 10,
+    where: str | None = None,
+    where_doc: str | None = None,
+    optimize: bool = True,
+) -> DataFrame:
+    """Conversation-collapsed top-k (Lucene/Elasticsearch field
+    collapsing): ONE row per matching document, ranked by its
+    best-scoring matching turn → (doc_id, turn_idx, score, n_matched)
+    where turn_idx is the best turn (ties: lowest turn_idx) and
+    n_matched the document's matching-turn count.  Keeps a single
+    conversation from flooding the result page — the grouped-results
+    contract every transcript-search UI wants.
+
+    Scale shape: the full match set must be scored (any turn could be
+    its document's best — same reason ES collapse scores all hits), so
+    this rides the exhaustive scorer; the collapse itself is one
+    doc_id-keyed groupBy (partial-aggregated map-side: the scoring frame
+    arrives already grouped by (doc_id, turn_idx)) and the final top-k
+    lowers to TakeOrderedAndProject.  No new shuffle shapes."""
+    match, qids, dfs = _plan_search(ix, expr, where, where_doc, optimize)
+    scored = scored_matches(ix, match, qids, dfs=dfs)
+    # max(struct(score, -turn_idx)) = highest score, ties → lowest turn
+    best = scored.groupBy("doc_id").agg(
+        F.max(F.struct(F.col("score"), (-F.col("turn_idx")).alias("nti"))).alias(
+            "best"
+        ),
+        F.count("*").alias("n_matched"),
+    )
+    return (
+        best.select(
+            "doc_id",
+            (-F.col("best.nti")).cast("int").alias("turn_idx"),
+            F.col("best.score").alias("score"),
+            "n_matched",
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def search_expr_after(
+    ix: Index,
+    expr: Expr,
+    cursor: tuple[int, int, float] | None,
+    k: int = 10,
+    where: str | None = None,
+    where_doc: str | None = None,
+    optimize: bool = True,
+) -> DataFrame:
+    """Keyset pagination: the next `k` results strictly AFTER `cursor` =
+    (doc_id, turn_idx, score) — the previous page's LAST RESULT ROW,
+    passed back verbatim — in the engine's total result order (score
+    DESC, doc_id ASC, turn_idx ASC).  `cursor=None` is page one
+    (== search_expr).
+
+    Deep pagination the scale-safe way: OFFSET re-scores and re-sorts
+    every earlier page; the cursor is a plain filter on the scoring
+    frame, so page N costs the same as page 1 and the sort+limit still
+    lowers to TakeOrderedAndProject.  Scores are deterministic plan
+    outputs, so the collected cursor value re-injected as a literal
+    compares bit-identically on the next page."""
+    match, qids, dfs = _plan_search(ix, expr, where, where_doc, optimize)
+    scored = scored_matches(ix, match, qids, dfs=dfs)
+    if cursor is not None:
+        d, t, s = int(cursor[0]), int(cursor[1]), float(cursor[2])
+        after_key = (
+            (F.col("score") < s)
+            | ((F.col("score") == s) & (F.col("doc_id") > d))
+            | (
+                (F.col("score") == s)
+                & (F.col("doc_id") == d)
+                & (F.col("turn_idx") > t)
+            )
+        )
+        scored = scored.where(after_key)
+    return scored.orderBy(
+        F.desc("score"), F.asc("doc_id"), F.asc("turn_idx")
+    ).limit(k)
 
 
 def match_set_expr(ix: Index, expr: Expr, optimize: bool = True) -> DataFrame:

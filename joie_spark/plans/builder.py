@@ -180,6 +180,42 @@ class QueryBuilder:
             optimize=optimize,
         )
 
+    def top_k_collapsed(self, k: int = 10, optimize: bool = True) -> DataFrame:
+        """Conversation-collapsed top-k: one row per document, ranked by
+        its best matching turn → (doc_id, turn_idx, score, n_matched).
+        See Engine.search_collapsed."""
+        from ..operators import query as Q
+
+        return Q.search_expr_collapsed(
+            self._engine.index,
+            self._require_expr(),
+            k=k,
+            where=self._where,
+            where_doc=self._where_doc,
+            optimize=optimize,
+        )
+
+    def page_after(
+        self,
+        cursor: tuple[int, int, float] | None,
+        k: int = 10,
+        optimize: bool = True,
+    ) -> DataFrame:
+        """Keyset pagination: the next `k` results strictly after
+        `cursor` = (doc_id, turn_idx, score) — the previous page's last
+        result row.  See Engine.search_after."""
+        from ..operators import query as Q
+
+        return Q.search_expr_after(
+            self._engine.index,
+            self._require_expr(),
+            cursor,
+            k=k,
+            where=self._where,
+            where_doc=self._where_doc,
+            optimize=optimize,
+        )
+
     def matches(self, optimize: bool = True) -> DataFrame:
         """Unranked match set in (doc_id, turn_idx) order (the reference's
         native output, searcher.rs:37-52), with filters applied."""

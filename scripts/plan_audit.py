@@ -375,6 +375,28 @@ def main() -> None:
         and "CartesianProduct" not in plan_tfidf
     )
 
+    # 5g. conversation collapse: doc_id groupBy must partial-aggregate
+    # (HashAggregate pair) and the final top-k must lower to
+    # TakeOrderedAndProject — never a global Sort, never a window over
+    # the whole scored set
+    plan_col = explain_str(eng.search_collapsed("roll OR dice", k=10))
+    results["collapse_partial_agg_take_ordered"] = (
+        "TakeOrderedAndProject" in plan_col
+        and "Window" not in plan_col
+        and "CartesianProduct" not in plan_col
+    )
+    # 5h. keyset pagination: the cursor is a FILTER on the scoring frame
+    # (page N costs page-1 work) and top-k still lowers to
+    # TakeOrderedAndProject — no offset/window machinery
+    plan_pg = explain_str(
+        eng.search_after("roll OR dice", (1, 1, 5.0), k=10)
+    )
+    results["search_after_filter_take_ordered"] = (
+        "TakeOrderedAndProject" in plan_pg
+        and "Window" not in plan_pg
+        and "GlobalLimitAndOffset" not in plan_pg
+    )
+
     # 6. no cross join in any headline bench query (VERDICT r1: the bench
     # must measure the scale paths, not the sampled pairwise oracles)
     import __spark_entry__ as entrymod

@@ -1,0 +1,184 @@
+"""Conversation-collapsed top-k (Engine.search_collapsed — the Lucene/ES
+field-collapsing shape), keyset pagination (Engine.search_after), and
+expression facets, each pinned to a pure-Python recomputation over the
+oracle's full scored ranking (bit-identical float64 scores, exact order).
+"""
+
+import pytest
+
+QUERIES = [
+    "the",                                # hot term, heavy score ties
+    "roll OR dice",
+    '"crystal kingdom"',
+    "roll AND dice OR game",
+]
+
+
+def _full(oracle, q, **kw):
+    """The oracle's complete scored ranking (k unbounded)."""
+    return oracle.search(q, k=10**9, **kw)
+
+
+def _collapse(rows, k):
+    """Reference collapse: per doc keep (best score, lowest turn on tie)
+    + matching-turn count; order score DESC, doc ASC, top k."""
+    best: dict[int, tuple[int, float]] = {}
+    n: dict[int, int] = {}
+    for d, t, s in rows:
+        n[d] = n.get(d, 0) + 1
+        cur = best.get(d)
+        if cur is None or (s, -t) > (cur[1], -cur[0]):
+            best[d] = (t, s)
+    out = [(d, t, s, n[d]) for d, (t, s) in best.items()]
+    out.sort(key=lambda x: (-x[2], x[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_collapsed_rank_identical(q, t1_engine, t1_oracle):
+    got = [
+        (r["doc_id"], r["turn_idx"], r["score"], r["n_matched"])
+        for r in t1_engine.search_collapsed(q, k=10).collect()
+    ]
+    want = _collapse(_full(t1_oracle, q), 10)
+    assert got == want, f"{q}\n spark={got}\n oracle={want}"
+
+
+def test_collapsed_filtered(t1_engine, t1_oracle):
+    q = "roll OR dice"
+    got = [
+        (r["doc_id"], r["turn_idx"], r["score"], r["n_matched"])
+        for r in t1_engine.search_collapsed(
+            q, k=10, where="role = 'user'"
+        ).collect()
+    ]
+    want = _collapse(
+        _full(t1_oracle, q, turn_filter=lambda t: t.role == "user"), 10
+    )
+    assert got == want
+
+
+def test_collapsed_n_matched_totals(t1_engine, t1_oracle):
+    """Σ n_matched over an un-truncated collapse == the match-set size."""
+    q = "roll OR dice"
+    rows = t1_engine.search_collapsed(q, k=10**6).collect()
+    assert sum(r["n_matched"] for r in rows) == len(t1_oracle.match_set(q))
+    # one row per doc
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+
+
+def test_collapsed_oov_empty(t1_engine):
+    assert t1_engine.search_collapsed("zzzzunseenzzz", k=10).count() == 0
+
+
+def test_collapsed_builder_algebra(t1_engine, t1_oracle):
+    """Collapse over a builder-only query (prefix) — the full algebra
+    rides the same planner."""
+    from joie_spark.plans.parser import Prefix
+
+    got = [
+        (r["doc_id"], r["turn_idx"], r["score"], r["n_matched"])
+        for r in t1_engine.builder().prefix("cr").top_k_collapsed(10).collect()
+    ]
+    full = t1_oracle.search_expr(Prefix("cr"), k=10**9)
+    want = _collapse(full, 10)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# keyset pagination
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_pages_tile_the_ranking(q, t1_engine, t1_oracle):
+    """Pages of 7 via search_after tile the full ranking exactly — no
+    gaps, no overlaps, bit-identical scores — including across heavy
+    score ties ('the')."""
+    want = _full(t1_oracle, q)
+    pages = []
+    cursor = None
+    for _ in range(4):
+        page = [
+            (r["doc_id"], r["turn_idx"], r["score"])
+            for r in t1_engine.search_after(q, cursor, k=7).collect()
+        ]
+        if not page:
+            break
+        pages.extend(page)
+        cursor = page[-1]
+    assert pages == want[: len(pages)]
+    assert len(pages) == min(28, len(want))
+
+
+def test_page_one_equals_search(t1_engine):
+    q = "roll OR dice"
+    a = [tuple(r) for r in t1_engine.search(q, k=10).collect()]
+    b = [tuple(r) for r in t1_engine.search_after(q, None, k=10).collect()]
+    assert a == b
+
+
+def test_page_past_end_empty(t1_engine, t1_oracle):
+    q = '"crystal kingdom"'
+    want = _full(t1_oracle, q)
+    assert t1_engine.search_after(q, want[-1], k=10).count() == 0
+
+
+def test_page_after_builder(t1_engine, t1_oracle):
+    q = "roll OR dice"
+    want = _full(t1_oracle, q)
+    b = t1_engine.builder().keywords("roll", "dice")
+    p1 = [tuple(r) for r in b.page_after(None, k=5).collect()]
+    p2 = [tuple(r) for r in b.page_after(p1[-1], k=5).collect()]
+    assert [  # noqa: C416
+        (d, t, s) for d, t, s in p1 + p2
+    ] == want[:10]
+
+
+def test_filtered_pagination(t1_engine, t1_oracle):
+    q = "roll OR dice"
+    want = _full(t1_oracle, q, turn_filter=lambda t: t.role == "user")
+    p1 = [
+        tuple(r)
+        for r in t1_engine.search_after(
+            q, None, k=5, where="role = 'user'"
+        ).collect()
+    ]
+    p2 = [
+        tuple(r)
+        for r in t1_engine.search_after(
+            q, p1[-1], k=5, where="role = 'user'"
+        ).collect()
+    ]
+    assert p1 + p2 == want[:10]
+
+
+# ---------------------------------------------------------------------------
+# expression facets (date histogram)
+
+
+def test_facets_date_histogram(t1_engine, t1_oracle, t1_rows):
+    """facets(by=<SQL expression>) — a day-bucket histogram over the
+    match set, recomputed from the raw rows."""
+    q = "roll OR dice"
+    got = [
+        (r["value"], r["n_turns"], r["n_docs"])
+        for r in t1_engine.facets(
+            q, by="cast(date_trunc('day', ts) as date)", n=50
+        ).collect()
+    ]
+    match = t1_oracle.match_set(q)
+    ts_of = {
+        (t1_oracle.doc_of_conv[r["conv_id"]], r["turn_idx"]): r["ts"]
+        for r in t1_rows
+    }
+    per_day: dict = {}
+    for key in match:
+        day = ts_of[key].date()
+        turns, docs = per_day.setdefault(day, [0, set()])
+        per_day[day][0] += 1
+        per_day[day][1].add(key[0])
+    want = sorted(
+        ((d, n, len(ds)) for d, (n, ds) in per_day.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:50]
+    assert got == want
