@@ -43,6 +43,7 @@ from ..plans.parser import (
     Near,
     Or,
     Prefix,
+    Regex,
     parse_query,
 )
 from ..tokenizer import tokenize_terms
@@ -85,6 +86,11 @@ def _pred_sql(e: Expr) -> str:
             f"exists(map_keys({_PM}), t -> length(t) BETWEEN {len(q) - k} "
             f"AND {len(q) + k} AND levenshtein(t, {_sql_str(q)}) <= {k})"
         )
+    if isinstance(e, Regex):
+        # anchored like Index.expand_regex — whole-term match; per-turn
+        # evaluation is exact (no df-heaviest cap can bind here)
+        pat = "^(?:" + e.pattern.lower() + ")$"
+        return f"exists(map_keys({_PM}), t -> t RLIKE {_sql_str(pat)})"
     if isinstance(e, Near):
         lw = tokenize_terms(e.lhs)
         rw = tokenize_terms(e.rhs)

@@ -42,6 +42,7 @@ from ..plans.parser import (
     Near,
     Or,
     Prefix,
+    Regex,
     parse_query,
 )
 from ..sources.tables import read_stats, table_path
@@ -139,6 +140,13 @@ def lower(
             return PKeywords(tuple(ids))
         if isinstance(e, Fuzzy):
             ids = (fuzzy_ids or {}).get((e.text.lower(), int(e.max_edits)), ())
+            return PKeywords(tuple(ids))
+        if isinstance(e, Regex):
+            # regex expansions ride prefix_ids under a "re:" key (":"
+            # can never appear in a dictionary term or a valid prefix —
+            # builder.prefix() refuses it), keeping every call-site
+            # signature unchanged
+            ids = (prefix_ids or {}).get("re:" + e.pattern.lower(), ())
             return PKeywords(tuple(ids))
         if isinstance(e, Near):
             lw = lit_ids(e.lhs)
@@ -477,6 +485,39 @@ class Index:
         )
         return [(r["term_id"], r["df"]) for r in rows]
 
+    def expand_regex(
+        self, pattern: str, max_expansions: int | None = None
+    ) -> list[tuple[int, int]]:
+        """Dictionary terms FULLY matched by `pattern` (Lucene
+        RegexpQuery: anchored to the whole term; lowercased verbatim —
+        never analyzed) → [(term_id, df)], df-heaviest `max_expansions`
+        kept (same deterministic cap rule as expand_prefix).
+
+        Scale shape: one JVM-codegen dictionary scan (rlike stays
+        whole-stage); `^...$` anchoring is added here, so rlike's
+        find-anywhere semantics become whole-term.  When the pattern has
+        a literal prefix (e.g. `sca[nl].*`), an extra startswith
+        predicate is derived from it and PUSHED to the parquet scan —
+        the term-sorted dictionary then prunes row groups the way
+        expand_prefix does; a leading-wildcard pattern scans the whole
+        dictionary (exactly Lucene's leading-wildcard caveat)."""
+        pat = pattern.lower()
+        if not pat:
+            raise ValueError("empty regex pattern")
+        cap = max_expansions or self.PREFIX_MAX_EXPANSIONS
+        cond = F.col("term").rlike("^(?:" + pat + ")$")
+        lit_prefix = _regex_literal_prefix(pat)
+        if lit_prefix:
+            cond = F.col("term").startswith(lit_prefix) & cond
+        rows = (
+            self.term_dict.where(cond)
+            .select("term_id", "df")
+            .orderBy(F.desc("df"), F.asc("term_id"))
+            .limit(cap)
+            .collect()
+        )
+        return [(r["term_id"], r["df"]) for r in rows]
+
     def postings_for(self, term_ids: set[int]) -> DataFrame:
         ids = sorted(t for t in term_ids if t > 0)
         if not ids:
@@ -497,6 +538,36 @@ class Index:
 
 # ---------------------------------------------------------------------------
 # boolean evaluation → match set DataFrame (doc_id, turn_idx)
+
+
+def _regex_literal_prefix(pat: str) -> str:
+    """Longest literal prefix every match of `pat` must start with —
+    SOUND (never excludes a match) or empty.  A top-level alternation
+    means the branches may diverge → no prefix; a quantifier that can
+    make its char optional (?, *, {) drops that char; '+' keeps it."""
+    depth = 0
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth = max(0, depth - 1)
+        elif c == "|" and depth == 0:
+            return ""
+        i += 1
+    out = ""
+    for ch in pat:
+        if ch.isalnum() or ch in "_-":
+            out += ch
+        else:
+            if ch in "?*{" and out:
+                out = out[:-1]
+            break
+    return out
 
 
 def _adjacency_pred(posmap: Column, ids: tuple[int, ...]) -> Column:
@@ -912,20 +983,26 @@ def _expand_multiterm(
     prefix_ids: dict[str, tuple[int, ...]] | None = None,
     fuzzy_ids: dict[tuple[str, int], tuple[int, ...]] | None = None,
     exp_dfs: dict[int, int] | None = None,
+    regex_ids: dict[str, tuple[int, ...]] | None = None,
 ) -> tuple[
     dict[str, tuple[int, ...]],
     dict[tuple[str, int], tuple[int, ...]],
     dict[int, int],
 ]:
-    """Every Prefix / Fuzzy node's dictionary expansion, plus the
+    """Every Prefix / Fuzzy / Regex node's dictionary expansion, plus the
     expanded terms' dfs (they participate in BM25 scoring exactly like
     spelled-out OR keywords — score_matches would otherwise default
     their df to 0).  Pass the returned dicts back in when expanding a
     BATCH of expressions: duplicate patterns across queries then cost
-    one dictionary scan, not one per query."""
+    one dictionary scan, not one per query.  `regex_ids` is keyed
+    "re:<pattern>" inside prefix_ids' namespace-free sibling dict; when
+    the caller passes None the regex expansions are stored in (and
+    returned via) `prefix_ids` under that prefixed key — keeping the
+    3-tuple return shape every existing call site unpacks."""
     prefix_ids = {} if prefix_ids is None else prefix_ids
     fuzzy_ids = {} if fuzzy_ids is None else fuzzy_ids
     exp_dfs = {} if exp_dfs is None else exp_dfs
+    regex_ids = prefix_ids if regex_ids is None else regex_ids
     for p in sorted({e.text.lower() for e in _walk(expr) if isinstance(e, Prefix)}):
         if p in prefix_ids:
             continue
@@ -939,6 +1016,15 @@ def _expand_multiterm(
             continue
         pairs = ix.expand_fuzzy(key[0], key[1])
         fuzzy_ids[key] = tuple(tid for tid, _ in pairs)
+        exp_dfs.update(pairs)
+    for p in sorted(
+        {e.pattern.lower() for e in _walk(expr) if isinstance(e, Regex)}
+    ):
+        rkey = "re:" + p
+        if rkey in regex_ids:
+            continue
+        pairs = ix.expand_regex(p)
+        regex_ids[rkey] = tuple(tid for tid, _ in pairs)
         exp_dfs.update(pairs)
     return prefix_ids, fuzzy_ids, exp_dfs
 
@@ -1086,6 +1172,6 @@ def _literal_texts(expr: Expr) -> list[str]:
         return [expr.text]
     if isinstance(expr, Near):
         return [expr.lhs, expr.rhs]
-    if isinstance(expr, (Fuzzy, Prefix)):
+    if isinstance(expr, (Fuzzy, Prefix, Regex)):
         return []  # expanded against the dictionary, not tokenized
     return _literal_texts(expr.lhs) + _literal_texts(expr.rhs)

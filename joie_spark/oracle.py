@@ -28,6 +28,7 @@ fold order, so scores are required to be bit-identical (tested).
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -40,6 +41,7 @@ from .plans.parser import (
     Near,
     Or,
     Prefix,
+    Regex,
     parse_query,
 )
 from .tokenizer import tokenize
@@ -185,6 +187,18 @@ class OracleIndex:
         ids.sort(key=lambda tid: (-self.df.get(tid, 0), tid))
         return sorted(ids[:cap])
 
+    def expand_regex(self, pattern: str, cap: int = 1024) -> list[int]:
+        """Dictionary expansion for a Regex node — same rule as
+        Index.expand_regex (anchored full-term match, never analyzed;
+        df-heaviest `cap` kept, ties term-id ASC)."""
+        pat = pattern.lower()
+        if not pat:
+            raise ValueError("empty regex pattern")
+        rx = re.compile(pat)
+        ids = [tid for t, tid in self.term_id.items() if rx.fullmatch(t)]
+        ids.sort(key=lambda tid: (-self.df.get(tid, 0), tid))
+        return sorted(ids[:cap])
+
     def _near_matches(self, expr: Near) -> set[tuple[int, int]]:
         lw = self.query_term_ids(expr.lhs)
         rw = self.query_term_ids(expr.rhs)
@@ -216,6 +230,12 @@ class OracleIndex:
             return {
                 key
                 for tid in self.expand_fuzzy(expr.text, expr.max_edits)
+                for key in self.postings.get(tid, ())
+            }
+        if isinstance(expr, Regex):
+            return {
+                key
+                for tid in self.expand_regex(expr.pattern)
                 for key in self.postings.get(tid, ())
             }
         if isinstance(expr, Near):
@@ -287,6 +307,8 @@ class OracleIndex:
             return set(self.expand_prefix(expr.text))
         if isinstance(expr, Fuzzy):
             return set(self.expand_fuzzy(expr.text, expr.max_edits))
+        if isinstance(expr, Regex):
+            return set(self.expand_regex(expr.pattern))
         if isinstance(expr, AndNot):
             return self._scoring_term_ids(expr.lhs)  # prohibited side never scores
         return self._scoring_term_ids(expr.lhs) | self._scoring_term_ids(expr.rhs)

@@ -24,7 +24,7 @@ from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame
 
-from .parser import And, AndNot, Expr, Fuzzy, Literal, Near, Or, Prefix
+from .parser import And, AndNot, Expr, Fuzzy, Literal, Near, Or, Prefix, Regex
 
 
 def _merge_pred(a: str | None, b: str | None) -> str | None:
@@ -76,7 +76,25 @@ class QueryBuilder:
         Beyond-reference extension (the string grammar is unchanged)."""
         if not text or not text.strip():
             raise ValueError("prefix() needs a non-empty prefix")
+        if ":" in text:
+            raise ValueError(
+                "prefix() cannot contain ':' (no dictionary term does)"
+            )
         return self._add(Prefix(text.strip()))
+
+    def regex(self, pattern: str) -> "QueryBuilder":
+        """Regex term clause: matches turns containing ANY dictionary
+        term the pattern FULLY matches (Lucene RegexpQuery: anchored to
+        the whole term; lowercased verbatim, never analyzed — like
+        prefix()), scored like the spelled-out keyword OR of the
+        expansion.  One JVM-codegen dictionary scan (rlike); a literal
+        pattern prefix is pushed down as a startswith range predicate.
+        Keep patterns RE2-safe (no backrefs/lookaround) so they mean the
+        same thing engine- and oracle-side.  Beyond-reference
+        extension."""
+        if not pattern or not pattern.strip():
+            raise ValueError("regex() needs a non-empty pattern")
+        return self._add(Regex(pattern.strip()))
 
     def fuzzy(self, text: str, max_edits: int = 1) -> "QueryBuilder":
         """Fuzzy term clause `text~`: matches turns containing ANY
@@ -256,7 +274,7 @@ def _literal_texts(expr: Expr) -> list[str]:
         return [expr.text]
     if isinstance(expr, Near):
         return [expr.lhs, expr.rhs]  # both sides keyword-highlighted
-    if isinstance(expr, (Fuzzy, Prefix)):
+    if isinstance(expr, (Fuzzy, Prefix, Regex)):
         return []  # dictionary-expanded, not highlighted
     if isinstance(expr, AndNot):
         return _literal_texts(expr.lhs)  # prohibited terms never highlight

@@ -80,6 +80,19 @@ class Fuzzy(Expr):
 
 
 @dataclass(frozen=True)
+class Regex(Expr):
+    """Regex term query: matches every dictionary term the pattern
+    FULLY matches (Lucene RegexpQuery semantics: anchored to the whole
+    term; lowercased verbatim — like Prefix, patterns are never
+    analyzed/stemmed).  Keep patterns in the RE2-safe common subset
+    (literals, classes, ``.*+?|()[]{}``) — no backrefs/lookaround — so
+    the same pattern means the same thing in Spark (Java regex), DuckDB
+    (RE2) and Python.  Beyond-reference extension — builder-only."""
+
+    pattern: str
+
+
+@dataclass(frozen=True)
 class Near(Expr):
     """Proximity query: single words ``lhs`` and ``rhs`` co-occur in one
     turn within ``slop`` token positions (|p_r − p_l| ≤ slop; ordered ⇒

@@ -88,6 +88,18 @@ def main() -> None:
     results["prefix_dict_startswith_pushdown"] = (
         "StringStartsWith" in plan_pfx_dict
     )
+    # 4c. regex expansion: the derived literal prefix reaches the
+    # parquet scan too (rlike itself can't push, the startswith can);
+    # the anchored rlike stays JVM-codegen (no Python eval)
+    plan_rx_dict = explain_str(
+        eng.index.term_dict.where(
+            F.col("term").startswith("ro") & F.col("term").rlike("^(?:ro.*)$")
+        ).select("term_id", "df")
+    )
+    results["regex_dict_prefix_pushdown"] = (
+        "StringStartsWith" in plan_rx_dict
+        and "BatchEvalPython" not in plan_rx_dict
+    )
     plan_pfx = explain_str(eng.builder().prefix("ro").top_k(5))
     results["prefix_keyword_scan_pruned"] = (
         "bucket" in plan_pfx

@@ -5,7 +5,15 @@ algebra, run unchanged on a stream, and plan with zero shuffles."""
 import pytest
 
 from joie_spark.operators.percolate import percolate, percolate_stream
-from joie_spark.plans.parser import AndNot, Fuzzy, Literal, Near, Or, Prefix
+from joie_spark.plans.parser import (
+    AndNot,
+    Fuzzy,
+    Literal,
+    Near,
+    Or,
+    Prefix,
+    Regex,
+)
 
 STRING_QUERIES = [
     "roll OR dice",
@@ -22,6 +30,8 @@ EXPR_QUERIES = [
     Fuzzy("dice", 1),
     AndNot(Literal("roll"), Literal("dice")),
     AndNot(Prefix("ro"), Or(Literal("roll"), Literal("dice"))),
+    Regex("ro.*"),
+    Regex("d(i|u)ce"),
 ]
 
 
