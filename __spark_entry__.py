@@ -399,6 +399,45 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def q_boosted_bm25(spark, sf_dir):
+    """Per-term query-time boosts (engine.py search_boosted — Lucene
+    `term^w`): the flagship BM25 query with window^3, query^0.25 — each
+    term's contribution scales by its weight, matching unchanged.  The
+    engine folds the boost into the driver-side idf literal
+    (tests/test_collapse.py pins bit-identity to the boosted oracle);
+    this mirror applies the same per-term factor, the DuckDB oracle via
+    CASE."""
+    docs = _docs(spark, sf_dir).withColumn("tokens", text.sql_tokens()).cache()
+    tok = docs.select("doc_id", F.explode("tokens").alias("term"))
+    dl = docs.select("doc_id", F.size("tokens").cast("long").alias("dl"))
+    st = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n, avgdl = st["n"], st["avgdl"]
+    tf = (
+        tok.where(F.col("term").isin(list(BM25_TERMS)))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    j = tf.join(dfc, "term").join(dl, "doc_id")
+    w = (
+        F.when(F.col("term") == "window", F.lit(3.0))
+        .when(F.col("term") == "query", F.lit(0.25))
+        .otherwise(F.lit(1.0))
+    )
+    contrib = (
+        w
+        * F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * F.lit(2.2))
+        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def q_collapse_topk(spark, sf_dir):
     """Conversation-collapsed top-k (engine.py search_collapsed — the
     Lucene/ES field-collapsing shape): one row per group, ranked by its
@@ -1241,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_by_lang": q_facet_by_lang,
         "bm25_topk": q_bm25_topk,
         "bm25_batch": q_bm25_batch,
+        "boosted_bm25": q_boosted_bm25,
         "collapse_topk": q_collapse_topk,
         "search_after_page2": q_search_after_page2,
         "union_dedup": q_union_dedup,
@@ -1920,6 +1960,27 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sum(ln(1.0 + (st.n - dfc.df + 0.5)/(dfc.df + 0.5))
                          * (tf.tf * 2.2)
                          / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl))) DESC, tf.doc_id
+            LIMIT 10""",
+        "boosted_bm25": f"""
+            WITH tok AS (SELECT doc_id, unnest({TOK_DD}) AS term FROM documents),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+            st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+                   WHERE term IN ({_TERMS3}) GROUP BY doc_id, term),
+            dfc AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+            SELECT tf.doc_id AS doc_id,
+                   round(sum((CASE tf.term WHEN 'window' THEN 3.0
+                              WHEN 'query' THEN 0.25 ELSE 1.0 END)
+                         * ln(1.0 + (st.n - dfc.df + 0.5)/(dfc.df + 0.5))
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl))), 4) AS score
+            FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+            GROUP BY tf.doc_id
+            ORDER BY round(sum((CASE tf.term WHEN 'window' THEN 3.0
+                              WHEN 'query' THEN 0.25 ELSE 1.0 END)
+                         * ln(1.0 + (st.n - dfc.df + 0.5)/(dfc.df + 0.5))
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl))), 4) DESC, tf.doc_id
             LIMIT 10""",
         "collapse_topk": f"""
             WITH tok AS (SELECT doc_id, unnest({TOK_DD}) AS term FROM documents),

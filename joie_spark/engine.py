@@ -157,6 +157,29 @@ class Engine:
             optimize=optimize,
         )
 
+    def search_boosted(
+        self,
+        query,
+        boosts: dict[str, float],
+        k: int = 10,
+        where: str | None = None,
+        where_doc: str | None = None,
+        optimize: bool = True,
+    ) -> DataFrame:
+        """BM25 top-k with per-term query-time boosts (Lucene ``term^w``):
+        `boosts` maps words (tokenized/stemmed like literals) to weights
+        that scale those terms' score contributions.  Matching is
+        unchanged — an all-1.0 boost map returns exactly search()'s
+        rows.  Rides the exhaustive scorer (WAND bounds don't know
+        boosts); the boost folds into the driver-side idf literals, so
+        plans are identical to search().  Rank-identity vs the boosted
+        oracle twin: tests/test_collapse.py."""
+        expr, where, where_doc = self._coerce_query(query, where, where_doc)
+        return Q.search_expr_boosted(
+            self.index, expr, boosts, k=k, where=where, where_doc=where_doc,
+            optimize=optimize,
+        )
+
     def _coerce_query(
         self, query, where: str | None, where_doc: str | None
     ) -> tuple[Expr, str | None, str | None]:

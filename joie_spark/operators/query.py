@@ -724,6 +724,7 @@ def scored_matches(
     match: DataFrame,
     qterm_ids: list[int],
     dfs: dict[int, int] | None = None,
+    boosts: dict[int, float] | None = None,
 ) -> DataFrame:
     """BM25-score a match set over unique query terms → UNRANKED
     (doc_id, turn_idx, score), one row per matching turn — the shared
@@ -745,9 +746,18 @@ def scored_matches(
         }
     n_docs = ix.stats["N"]
     avgdl = ix.stats["avgdl"]
+    # per-term boost folds into the idf literal (Lucene's `term^w`:
+    # score contribution scales linearly), so the scoring fold below is
+    # unchanged and stays bit-identical to the oracle's boosted twin
+    boosts = boosts or {}
     idf_map = F.map_from_arrays(
         F.array([F.lit(int(t)).cast("long") for t in qids]),
-        F.array([F.lit(bm25_idf(n_docs, dfs.get(t, 0))) for t in qids]),
+        F.array(
+            [
+                F.lit(bm25_idf(n_docs, dfs.get(t, 0)) * boosts.get(t, 1.0))
+                for t in qids
+            ]
+        ),
     )
 
     cand = (
@@ -876,6 +886,46 @@ def _plan_search(
         )
     qids = sorted({t for t in plan_term_ids(node) if t > 0})
     return match, qids, dfs
+
+
+def search_expr_boosted(
+    ix: Index,
+    expr: Expr,
+    boosts: dict[str, float],
+    k: int = 10,
+    where: str | None = None,
+    where_doc: str | None = None,
+    optimize: bool = True,
+) -> DataFrame:
+    """BM25 top-k with per-term query-time boosts (Lucene's ``term^w``):
+    each boosted term's score contribution scales by its weight —
+    matching is UNCHANGED (boosts reweight the ranking, they never add
+    or remove matches).  `boosts` keys are words, tokenized/stemmed like
+    any literal (so "rolling" boosts the same term "roll" does); a key
+    that tokenizes to several words is refused rather than guessed.
+    OOV keys are ignored (they can't contribute score anyway).
+
+    Scale shape: identical to search_expr — the boost folds into the
+    per-term idf literal on the driver, so the scoring fold, shuffles
+    and top-k lowering are unchanged.  Rides the exhaustive scorer:
+    block-max WAND upper bounds don't know boosts, so the pruned paths
+    would be unsound here."""
+    match, qids, dfs = _plan_search(ix, expr, where, where_doc, optimize)
+    id_boosts: dict[int, float] = {}
+    for word, w in boosts.items():
+        toks = tokenize_terms(word)
+        if len(toks) != 1:
+            raise ValueError(
+                f"boost key must tokenize to exactly one word: "
+                f"{word!r} -> {toks}"
+            )
+        lut = ix.lookup_terms(toks)
+        if toks[0] in lut:
+            id_boosts[lut[toks[0]][0]] = float(w)
+    scored = scored_matches(ix, match, qids, dfs=dfs, boosts=id_boosts)
+    return scored.orderBy(
+        F.desc("score"), F.asc("doc_id"), F.asc("turn_idx")
+    ).limit(k)
 
 
 def search_expr_collapsed(

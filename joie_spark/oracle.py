@@ -267,9 +267,13 @@ class OracleIndex:
         k: int = 10,
         turn_filter: Callable[[Turn], bool] | None = None,
         doc_filter: Callable[[dict], bool] | None = None,
+        boosts: dict[str, float] | None = None,
     ) -> list[tuple[int, int, float]]:
         """search() over a pre-built AST (the QueryBuilder twin) — also
-        the oracle for the builder-only Near/Prefix extensions."""
+        the oracle for the builder-only Near/Prefix extensions.
+        `boosts` maps words → weights multiplying those terms' score
+        contributions (the search_expr_boosted twin — same idf·boost
+        product, so float64 scores agree bitwise)."""
         matches = self._eval(expr)
         if turn_filter is not None:
             matches = {key for key in matches if turn_filter(self.turns[key])}
@@ -278,6 +282,10 @@ class OracleIndex:
 
         qterms = sorted(self._scoring_term_ids(expr))
         idf = {t: bm25_idf(self.n_turns, self.df.get(t, 0)) for t in qterms}
+        for word, w in (boosts or {}).items():
+            ids = self.query_term_ids(word)
+            if len(ids) == 1 and ids[0] in idf:
+                idf[ids[0]] = idf[ids[0]] * float(w)
 
         scored = []
         for key in matches:

@@ -153,6 +153,66 @@ def test_filtered_pagination(t1_engine, t1_oracle):
 
 
 # ---------------------------------------------------------------------------
+# per-term query-time boosts
+
+
+def test_boosted_rank_identical(t1_engine, t1_oracle):
+    from joie_spark.plans.parser import parse_query
+
+    q = "roll OR dice OR game"
+    boosts = {"dice": 3.0, "game": 0.25}
+    got = [
+        tuple(r)
+        for r in t1_engine.search_boosted(q, boosts, k=10).collect()
+    ]
+    want = t1_oracle.search_expr(parse_query(q), k=10, boosts=boosts)
+    assert got == want
+    # and it actually reordered vs the unboosted ranking
+    plain = [tuple(r) for r in t1_engine.search(q, k=10).collect()]
+    assert [g[:2] for g in got] != [p[:2] for p in plain]
+
+
+def test_boost_of_one_is_identity(t1_engine):
+    q = "roll OR dice"
+    a = [tuple(r) for r in t1_engine.search(q, k=10).collect()]
+    b = [
+        tuple(r)
+        for r in t1_engine.search_boosted(
+            q, {"roll": 1.0, "dice": 1.0}, k=10
+        ).collect()
+    ]
+    assert a == b
+
+
+def test_boost_never_changes_matching(t1_engine, t1_oracle):
+    q = "roll AND dice"
+    rows = t1_engine.search_boosted(q, {"roll": 100.0}, k=10**6).collect()
+    assert {(r["doc_id"], r["turn_idx"]) for r in rows} == t1_oracle.match_set(q)
+
+
+def test_boost_key_stems_and_oov_ignored(t1_engine, t1_oracle):
+    from joie_spark.plans.parser import parse_query
+
+    q = "roll OR dice"
+    # "rolling" stems to "roll"; the OOV key contributes nothing
+    got = [
+        tuple(r)
+        for r in t1_engine.search_boosted(
+            q, {"rolling": 2.0, "zzzzunseenzzz": 9.0}, k=10
+        ).collect()
+    ]
+    want = t1_oracle.search_expr(
+        parse_query(q), k=10, boosts={"rolling": 2.0}
+    )
+    assert got == want
+
+
+def test_boost_rejects_multiword_key(t1_engine):
+    with pytest.raises(ValueError):
+        t1_engine.search_boosted("roll", {"crystal kingdom": 2.0}, k=5)
+
+
+# ---------------------------------------------------------------------------
 # expression facets (date histogram)
 
 
