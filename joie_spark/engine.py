@@ -71,8 +71,15 @@ class Engine:
         where_doc: str | None = None,
         optimize: bool = True,
         mode: str = "auto",
+        synonyms: dict[str, list[str]] | None = None,
     ) -> DataFrame:
         """BM25 top-k: (doc_id, turn_idx, score).
+
+        `synonyms` ({word: [alternatives...]}) expands single-word
+        clauses into ORs before planning (query-time Lucene
+        SynonymFilter; plans/synonyms.py documents the scope rules) —
+        the expanded query evaluates and scores exactly like the
+        spelled-out OR, on the same auto-routed paths.
 
         mode='auto' answers from the COMPRESSED index whenever positions
         aren't needed: pure disjunctive keyword queries take the
@@ -83,6 +90,22 @@ class Engine:
         batch.py).  All rank-identical to the exhaustive scorer by
         construction.  Only multi-term phrases scan the positional
         postings table.  mode='exhaustive' / mode='wand' force a path."""
+        if synonyms:
+            from .plans.builder import QueryBuilder
+            from .plans.synonyms import expand_synonyms
+
+            expr = expand_synonyms(parse_query(query), synonyms)
+            if mode == "exhaustive":
+                return Q.search_expr(
+                    self.index, expr, k=k, where=where, where_doc=where_doc,
+                    optimize=optimize,
+                )
+            # batch-of-one handles the full rewritten algebra with the
+            # same auto routing (phrase-free → compressed blocks path)
+            return self.search_many_built(
+                [QueryBuilder(self, expr)], k=k, where=where,
+                where_doc=where_doc, optimize=optimize,
+            ).drop("query_id")
         if mode in ("auto", "wand"):
             expr = parse_query(query)
             lits = _lits(expr)

@@ -168,6 +168,14 @@ class QueryBuilder:
             _where_doc=_merge_pred(self._where_doc, other._where_doc),
         )
 
+    def with_synonyms(self, synonyms: dict[str, list[str]]) -> "QueryBuilder":
+        """Expand single-word clauses of the accumulated query with
+        `synonyms` ({word: [alternatives...]}) — query-time Lucene
+        SynonymFilter; see plans/synonyms.py for the scope rules."""
+        from .synonyms import expand_synonyms
+
+        return replace(self, _expr=expand_synonyms(self._require_expr(), synonyms))
+
     # -- filters (DocumentFilter / SentenceFilter analogues)
     def filter_documents(self, sql_predicate: str) -> "QueryBuilder":
         """SQL predicate over doc_meta columns (conv_id, n_turns, total_dl,
