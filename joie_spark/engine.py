@@ -310,6 +310,24 @@ class Engine:
         # phrase spans subsume them.
         return add_highlights(res, self.index.turns, phrases, [])
 
+    def search_collapsed_highlighted(
+        self,
+        query,
+        k: int = 10,
+        where: str | None = None,
+        where_doc: str | None = None,
+    ) -> DataFrame:
+        """Conversation-collapsed top-k + snippet parts for each
+        document's BEST turn — the grouped-results page a transcript UI
+        renders.  Same one-turns-join highlight pass as
+        search_highlighted, over at most k rows."""
+        from .operators.query import _literal_texts
+
+        res = self.search_collapsed(query, k=k, where=where, where_doc=where_doc)
+        expr, _w, _wd = self._coerce_query(query, where, where_doc)
+        phrases = [tokenize_terms(t) for t in _literal_texts(expr)]
+        return add_highlights(res, self.index.turns, phrases, [])
+
     def search_many_highlighted(
         self,
         queries: list[str],
@@ -513,6 +531,30 @@ class Engine:
             .collect()
         )
         return [(r["term"], r["df"], r["dist"]) for r in rows]
+
+    def describe(self) -> dict:
+        """Bounded-cost index summary (the operational dashboard row):
+        corpus stats from stats.json (no jobs) plus a few small
+        aggregates (one count each on metadata-scale tables).  Keys:
+        n_turns, n_docs (registered conversations, incl. tombstoned-but-
+        unpurged), avgdl, vocab_terms, n_buckets, docs_per_block,
+        total_blocks, generations, row_generations,
+        tombstoned_docs (0 when fully purged), index_dir."""
+        st = self.index.stats
+        tomb = self.index.registry_tombstones
+        return {
+            "n_turns": int(st["N"]),
+            "n_docs": int(self.index.doc_meta.count()),
+            "avgdl": float(st["avgdl"]),
+            "vocab_terms": int(self.index.term_dict.count()),
+            "n_buckets": int(st["n_buckets"]),
+            "docs_per_block": int(st["docs_per_block"]),
+            "total_blocks": int(self.index.total_blocks),
+            "generations": list(st.get("post_gens", [0])),
+            "row_generations": list(st.get("gens", [0])),
+            "tombstoned_docs": 0 if tomb is None else int(tomb.count()),
+            "index_dir": self.index.index_dir,
+        }
 
     def explain(self, query: str, where: str | None = None) -> str:
         return self.search(query, where=where)._jdf.queryExecution().explainString(

@@ -152,6 +152,39 @@ def test_filtered_pagination(t1_engine, t1_oracle):
     assert p1 + p2 == want[:10]
 
 
+def test_collapsed_highlighted(t1_engine):
+    """Snippets for each document's best turn: same rows as
+    search_collapsed, parts carry the matched terms as highlights and
+    reconstruct the turn text, per-turn parts identical to
+    search_highlighted's for the same (doc, turn)."""
+    q = "roll OR dice"
+    base = {
+        (r["doc_id"], r["turn_idx"]): (r["score"], r["n_matched"])
+        for r in t1_engine.search_collapsed(q, k=10).collect()
+    }
+    hi = t1_engine.search_collapsed_highlighted(q, k=10).collect()
+    assert {(r["doc_id"], r["turn_idx"]) for r in hi} == set(base)
+    ref = {
+        (r["doc_id"], r["turn_idx"]): [(p["kind"], p["text"]) for p in r["parts"]]
+        for r in t1_engine.search_highlighted(q, k=10**6).collect()
+    }
+    for r in hi:
+        parts = [(p["kind"], p["text"]) for p in r["parts"]]
+        assert "".join(t for _, t in parts) == r["text"]
+        assert any(kind == "highlight" for kind, _ in parts)
+        assert parts == ref[(r["doc_id"], r["turn_idx"])]
+
+
+def test_describe(t1_engine, t1_oracle, t1_rows):
+    d = t1_engine.describe()
+    assert d["n_turns"] == len(t1_rows)
+    assert d["n_docs"] == len({r["conv_id"] for r in t1_rows})
+    assert d["vocab_terms"] == len(t1_oracle.term_id)
+    assert abs(d["avgdl"] - t1_oracle.avgdl) < 1e-9
+    assert d["tombstoned_docs"] == 0
+    assert d["total_blocks"] > 0 and d["generations"] == [0]
+
+
 # ---------------------------------------------------------------------------
 # per-term query-time boosts
 
