@@ -1008,6 +1008,45 @@ def q_ann_cosine_topk(spark, sf_dir):
     return ann.cosine_topk(emb.where(F.col("vec_id") != 0), qv, k=10)
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion (pipeline/ann.py
+    rrf_fuse — Cormack et al. 2009): the BM25 top-20 lexical list fused
+    with the embedding-cosine top-20 list (vec_id shares the doc_id
+    space) by Σ 1/(60+rank), both lists ranked on their ROUNDED scores +
+    id tiebreak so Spark and DuckDB rank identically.  Fusion cost is
+    candidate-set-sized (N·k rows), never corpus-sized."""
+    docs = _docs(spark, sf_dir).withColumn("tokens", text.sql_tokens()).cache()
+    tok = docs.select("doc_id", F.explode("tokens").alias("term"))
+    dl = docs.select("doc_id", F.size("tokens").cast("long").alias("dl"))
+    st = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n, avgdl = st["n"], st["avgdl"]
+    tf = (
+        tok.where(F.col("term").isin(list(BM25_TERMS)))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    j = tf.join(dfc, "term").join(dl, "doc_id")
+    contrib = (
+        F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * F.lit(2.2))
+        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
+    )
+    lex = (
+        j.groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    sem = (
+        ann.cosine_topk(emb.where(F.col("vec_id") != 0), qv, k=20)
+        .select(F.col("vec_id").alias("doc_id"), F.col("cos").alias("score"))
+    )
+    return ann.rrf_fuse([lex, sem], id_col="doc_id", k0=60, topk=10)
+
+
 def q_ann_lsh_bucketed(spark, sf_dir):  # rows-only (xxhash64 hyperplanes)
     emb = _emb(spark, sf_dir)
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
@@ -1328,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_portable": q_simhash_pairs_portable,
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "hybrid_rrf": q_hybrid_rrf,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "ann_lsh_bucketed_portable": q_ann_lsh_bucketed_portable,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2402,6 +2442,39 @@ def oracle_sql() -> dict[str, str]:
               WHERE a.vec_id % 10 = 0)
             SELECT a, b, round(dot/(na*nb), 4) AS cos FROM p
             WHERE round(dot/(na*nb), 4) >= 0.30""",
+        "hybrid_rrf": f"""
+            WITH tok AS (SELECT doc_id, unnest({TOK_DD}) AS term FROM documents),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+            st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+                   WHERE term IN ({_TERMS3}) GROUP BY doc_id, term),
+            dfc AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            lex AS (
+              SELECT tf.doc_id AS doc_id,
+                     round(sum(ln(1.0 + (st.n - dfc.df + 0.5)/(dfc.df + 0.5))
+                           * (tf.tf * 2.2)
+                           / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl))), 4) AS score
+              FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id
+              ORDER BY score DESC, doc_id LIMIT 20),
+            q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            p AS (
+              SELECT e.vec_id,
+                list_sum(list_transform(generate_series(1, len(e.embedding)),
+                         i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)) AS dot,
+                sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) AS na,
+                sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE))) AS nb
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0),
+            sem AS (SELECT vec_id AS doc_id, round(dot/(na*nb), 4) AS score FROM p
+                    ORDER BY dot/(na*nb) DESC, vec_id LIMIT 20),
+            ranked AS (
+              SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM lex
+              UNION ALL
+              SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sem)
+            SELECT doc_id, round(sum(1.0/(60.0 + rank)), 6) AS rrf_score,
+                   count(*)::BIGINT AS n_lists
+            FROM ranked GROUP BY doc_id
+            ORDER BY rrf_score DESC, doc_id LIMIT 10""",
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
             p AS (

@@ -224,6 +224,25 @@ def main() -> None:
                 round(time.time() - t0, 3)
             )
         single_sec = min(spreads["engine_single_query"])
+        # round-5 surface: conversation collapse (scores the full match
+        # set + one doc_id groupBy) and keyset pagination (page 2 via
+        # the page-1 cursor — must cost ~page-1 work, not OFFSET work)
+        p1 = eng.search_after(ENGINE_QUERIES[1], None, k=10).collect()  # warm
+        cursor = (p1[-1]["doc_id"], p1[-1]["turn_idx"], p1[-1]["score"])
+        for _rep in range(REPS):
+            t0 = time.time()
+            eng.search_collapsed(ENGINE_QUERIES[1], k=10).collect()
+            spreads.setdefault("engine_query_collapsed", []).append(
+                round(time.time() - t0, 3)
+            )
+            t0 = time.time()
+            n_p2 = len(eng.search_after(ENGINE_QUERIES[1], cursor, k=10).collect())
+            spreads.setdefault("engine_query_page2", []).append(
+                round(time.time() - t0, 3)
+            )
+            assert n_p2 > 0
+        timings["engine_query_collapsed"] = min(spreads["engine_query_collapsed"])
+        timings["engine_query_page2"] = min(spreads["engine_query_page2"])
         # stopword-phrase A/B (VERDICT r4 item 2): '"the dup"' has an
         # extreme df spread in this corpus (the ~3.9k vs dup 250).  The
         # seed leg FORCES the broadcast semi-join on (floor 0 — the

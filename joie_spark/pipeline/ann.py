@@ -660,3 +660,64 @@ def lsh_recall(
         hits += len(exact & approx)
         total += len(exact)
     return hits / total if total else 1.0
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal rank fusion
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    order_by: str | list[str] = "score",
+    k0: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009 — the
+    standard hybrid-retrieval combiner, e.g. BM25 ∪ embedding-cosine):
+    fuse N ranked candidate lists into one by
+
+        rrf(id) = Σ_lists 1 / (k0 + rank_in_list)
+
+    Each input is an ALREADY-BOUNDED ranked list (a top-N result — e.g.
+    Engine.search / cosine_topk output) carrying `id_col` and the
+    `order_by` column(s); rank is row_number over (order_by DESC, id
+    ASC) within each list, so fusion is deterministic even across score
+    ties.  Returns (id_col, rrf_score, n_lists) ordered rrf DESC / id
+    ASC, top `topk`.
+
+    Scale shape: the inputs are top-N frames (k rows each by
+    construction), so the per-list rank window and the id-keyed fusion
+    groupBy operate on N·k rows total — candidate-set-sized, never
+    corpus-sized; the expensive retrieval stays in the upstream engines
+    that already prune (WAND / ANN buckets)."""
+    from pyspark.sql.window import Window
+
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    parts = []
+    for i, df in enumerate(ranked):
+        w = Window.partitionBy(F.lit(i)).orderBy(
+            *[F.desc(c) for c in order_cols], F.asc(id_col)
+        )
+        parts.append(
+            df.select(
+                F.col(id_col),
+                F.row_number().over(w).alias("rank"),
+            )
+        )
+    from functools import reduce
+
+    allp = reduce(DataFrame.unionByName, parts)
+    return (
+        allp.groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(float(k0)) + F.col("rank"))), 6
+            ).alias("rrf_score"),
+            F.count("*").alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(int(topk))
+    )

@@ -1479,3 +1479,36 @@ def test_bpe_encode_matches_per_word_reference(spark):
         for r in bpe.bpe_encode(docs, []).collect()
     }
     assert zero[1] == len("lowlowwidest") + 3  # chars + one marker per word
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Reciprocal Rank Fusion (ann.rrf_fuse): Σ 1/(k0+rank) recomputed
+    by hand, incl. rank tiebreak on equal scores and single-list ids."""
+    from joie_spark.pipeline import ann
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 5.0), (4, 1.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(3, 0.9), (5, 0.8), (1, 0.7)], "doc_id long, score double"
+    )
+    got = [
+        (r["doc_id"], r["rrf_score"], r["n_lists"])
+        for r in ann.rrf_fuse([a, b], k0=60, topk=10).collect()
+    ]
+    # list a ranks: 1→1, 2→2 (5.0 tie → doc asc), 3→3, 4→4
+    # list b ranks: 3→1, 5→2, 1→3
+    want = {
+        1: 1 / 61 + 1 / 63,
+        2: 1 / 62,
+        3: 1 / 63 + 1 / 61,
+        4: 1 / 64,
+        5: 1 / 62,
+    }
+    expect = sorted(
+        ((d, round(s, 6), 2 if d in (1, 3) else 1) for d, s in want.items()),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert got == expect
+    with pytest.raises(ValueError):
+        ann.rrf_fuse([])
