@@ -203,6 +203,28 @@ class Engine:
             optimize=optimize,
         )
 
+    def search_decayed(
+        self,
+        query,
+        ref_ts: str,
+        half_life_s: float,
+        k: int = 10,
+        where: str | None = None,
+        where_doc: str | None = None,
+        optimize: bool = True,
+    ) -> DataFrame:
+        """BM25 top-k with exponential recency decay (ES function_score
+        exp decay): score × 2^(−(ref_ts−ts)/half_life_s).  `ref_ts` is
+        an explicit timestamp literal — deterministic, never wall-clock.
+        Matching unchanged; one extra turns join for ts (the `where`
+        pushdown shape).  Pinned to the Python recomputation in
+        tests/test_collapse.py."""
+        expr, where, where_doc = self._coerce_query(query, where, where_doc)
+        return Q.search_expr_decayed(
+            self.index, expr, ref_ts, half_life_s, k=k, where=where,
+            where_doc=where_doc, optimize=optimize,
+        )
+
     def _coerce_query(
         self, query, where: str | None, where_doc: str | None
     ) -> tuple[Expr, str | None, str | None]:

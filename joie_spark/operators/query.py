@@ -888,6 +888,51 @@ def _plan_search(
     return match, qids, dfs
 
 
+def search_expr_decayed(
+    ix: Index,
+    expr: Expr,
+    ref_ts: str,
+    half_life_s: float,
+    k: int = 10,
+    where: str | None = None,
+    where_doc: str | None = None,
+    optimize: bool = True,
+) -> DataFrame:
+    """BM25 top-k with exponential recency decay (the Elasticsearch
+    function_score exp-decay shape): each turn's score multiplies by
+    ``2^(-(ref_ts − ts)/half_life_s)`` — a turn `half_life_s` seconds
+    older than `ref_ts` scores half as much; turns newer than `ref_ts`
+    boost above 1 (no clamp — pass the corpus max ts as ref for pure
+    decay).  `ref_ts` is an explicit SQL timestamp literal ('2024-01-01
+    00:00:00'): recency must be deterministic, never wall-clock.
+
+    Matching is unchanged (decay reweights, never filters).  Scale
+    shape: one extra (doc_id, turn_idx) semi-join-shaped inner join of
+    the scored frame against the turns row store to fetch ts (the same
+    pushdown shape the `where` filter uses), one scalar multiply in the
+    projection; top-k still lowers to TakeOrderedAndProject."""
+    if not ref_ts:
+        raise ValueError("ref_ts must be an explicit timestamp literal")
+    if half_life_s <= 0:
+        raise ValueError("half_life_s must be > 0")
+    match, qids, dfs = _plan_search(ix, expr, where, where_doc, optimize)
+    scored = scored_matches(ix, match, qids, dfs=dfs)
+    with_ts = scored.join(
+        ix.turns.select(*MATCH_COLS, "ts"), MATCH_COLS, "inner"
+    )
+    age_s = F.unix_timestamp(F.lit(ref_ts).cast("timestamp")) - F.unix_timestamp(
+        F.col("ts")
+    )
+    decay = F.pow(F.lit(0.5), age_s.cast("double") / F.lit(float(half_life_s)))
+    return (
+        with_ts.select(
+            "doc_id", "turn_idx", (F.col("score") * decay).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("turn_idx"))
+        .limit(k)
+    )
+
+
 def search_expr_boosted(
     ix: Index,
     expr: Expr,

@@ -246,6 +246,53 @@ def test_boost_rejects_multiword_key(t1_engine):
 
 
 # ---------------------------------------------------------------------------
+# recency decay
+
+
+def test_decayed_matches_python_recompute(t1_engine, t1_oracle, t1_rows):
+    """score × 2^(−age/half_life) recomputed in Python from the oracle's
+    full ranking; ranks exact, scores within float ulp tolerance (JVM
+    Math.pow vs C pow may differ in the last bit)."""
+    q = "roll OR dice"
+    ref = "2024-01-02 00:00:00"
+    half = 1800.0
+    import datetime as dt
+
+    ref_dt = dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc)
+    ts_of = {
+        (t1_oracle.doc_of_conv[r["conv_id"]], r["turn_idx"]): r["ts"]
+        for r in t1_rows
+    }
+    full = _full(t1_oracle, q)
+    rescored = [
+        (d, t, s * 2.0 ** (-(ref_dt - ts_of[(d, t)]).total_seconds() / half))
+        for d, t, s in full
+    ]
+    rescored.sort(key=lambda x: (-x[2], x[0], x[1]))
+    got = [
+        tuple(r)
+        for r in t1_engine.search_decayed(q, ref, half, k=10).collect()
+    ]
+    assert [(d, t) for d, t, _ in got] == [(d, t) for d, t, _ in rescored[:10]]
+    for (_, _, a), (_, _, b) in zip(got, rescored[:10]):
+        assert abs(a - b) <= 1e-12 * max(abs(a), abs(b), 1.0)
+    # matching unchanged: huge half-life ≈ plain ranking
+    plain = [tuple(r) for r in t1_engine.search(q, k=10).collect()]
+    slow = [
+        tuple(r)
+        for r in t1_engine.search_decayed(q, ref, 1e15, k=10).collect()
+    ]
+    assert [(d, t) for d, t, _ in slow] == [(d, t) for d, t, _ in plain]
+
+
+def test_decayed_rejects_bad_args(t1_engine):
+    with pytest.raises(ValueError):
+        t1_engine.search_decayed("roll", "", 100.0)
+    with pytest.raises(ValueError):
+        t1_engine.search_decayed("roll", "2024-01-01 00:00:00", 0.0)
+
+
+# ---------------------------------------------------------------------------
 # expression facets (date histogram)
 
 
