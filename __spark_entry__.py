@@ -333,6 +333,48 @@ def q_prefix_bm25(spark, sf_dir):
     )
 
 
+def q_min_match_bm25(spark, sf_dir):
+    """minimum_should_match (operators/query.py PMinMatch — the
+    Lucene/ES BooleanQuery floor): docs containing at least 2 of the 3
+    flagship terms, scored with full BM25 over all matched terms.  The
+    engine twin evaluates the floor as a postings count-distinct (single
+    path) or a bitmask popcount (batch path) — both pinned rank-identical
+    to the Python oracle (tests/test_minmatch.py)."""
+    docs = _docs(spark, sf_dir).withColumn("tokens", text.sql_tokens()).cache()
+    tok = docs.select("doc_id", F.explode("tokens").alias("term"))
+    dl = docs.select("doc_id", F.size("tokens").cast("long").alias("dl"))
+    st = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n, avgdl = st["n"], st["avgdl"]
+    tf = (
+        tok.where(F.col("term").isin(list(BM25_TERMS)))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    keep = (
+        tf.groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("nt"))
+        .where(F.col("nt") >= 2)
+        .select("doc_id")
+    )
+    dfc = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    j = (
+        tf.join(keep, "doc_id", "left_semi")
+        .join(dfc, "term")
+        .join(dl, "doc_id")
+    )
+    contrib = (
+        F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * F.lit(2.2))
+        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def q_regex_bm25(spark, sf_dir):
     """Regex term query `s[ct].*` scored with full BM25 over its
     whole-term-anchored expansion (operators/query.py Index.expand_regex
@@ -1312,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_window": q_near_window,
         "prefix_bm25": q_prefix_bm25,
         "regex_bm25": q_regex_bm25,
+        "min_match_bm25": q_min_match_bm25,
         "fuzzy_bm25": q_fuzzy_bm25,
         "and_not": q_and_not,
         "percolate_route": q_percolate,
@@ -1949,6 +1992,26 @@ def oracle_sql() -> dict[str, str]:
             FROM pos a JOIN pos b USING (doc_id)
             WHERE a.term = 'fast' AND b.term = 'slow'
               AND a.p != b.p AND abs(a.p - b.p) <= 2""",
+        "min_match_bm25": f"""
+            WITH tok AS (SELECT doc_id, unnest({TOK_DD}) AS term FROM documents),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+            st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+                   WHERE term IN ({_TERMS3}) GROUP BY doc_id, term),
+            keep AS (SELECT doc_id FROM tf GROUP BY doc_id
+                     HAVING count(DISTINCT term) >= 2),
+            dfc AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+            SELECT tf.doc_id AS doc_id,
+                   round(sum(ln(1.0 + (st.n - dfc.df + 0.5)/(dfc.df + 0.5))
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl))), 4) AS score
+            FROM tf JOIN keep USING (doc_id) JOIN dfc USING (term)
+                 JOIN dl USING (doc_id) CROSS JOIN st
+            GROUP BY tf.doc_id
+            ORDER BY sum(ln(1.0 + (st.n - dfc.df + 0.5)/(dfc.df + 0.5))
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl))) DESC, tf.doc_id
+            LIMIT 10""",
         "regex_bm25": f"""
             WITH tok AS (SELECT doc_id, unnest({TOK_DD}) AS term FROM documents),
             dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),

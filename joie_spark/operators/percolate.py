@@ -40,6 +40,7 @@ from ..plans.parser import (
     Expr,
     Fuzzy,
     Literal,
+    MinShould,
     Near,
     Or,
     Prefix,
@@ -86,6 +87,21 @@ def _pred_sql(e: Expr) -> str:
             f"exists(map_keys({_PM}), t -> length(t) BETWEEN {len(q) - k} "
             f"AND {len(q) + k} AND levenshtein(t, {_sql_str(q)}) <= {k})"
         )
+    if isinstance(e, MinShould):
+        terms = []
+        for w in e.words:
+            toks = tokenize_terms(w)
+            if len(toks) != 1:
+                raise ValueError(
+                    "min_match words must each tokenize to one word: "
+                    f"{w!r} -> {toks}"
+                )
+            terms.append(toks[0])
+        total = " + ".join(
+            f"CAST(map_contains_key({_PM}, {_sql_str(t)}) AS INT)"
+            for t in sorted(set(terms))
+        )
+        return f"({total}) >= {int(e.m)}"
     if isinstance(e, Regex):
         # anchored like Index.expand_regex — whole-term match; per-turn
         # evaluation is exact (no df-heaviest cap can bind here)

@@ -39,6 +39,7 @@ from ..plans.parser import (
     Expr,
     Fuzzy,
     Literal,
+    MinShould,
     Near,
     Or,
     Prefix,
@@ -80,6 +81,18 @@ class PPhraseAnd(PNode):
 @dataclass(frozen=True)
 class PKeywords(PNode):
     ids: tuple[int, ...]
+
+
+@dataclass(frozen=True)
+class PMinMatch(PNode):
+    """minimum_should_match (plans/parser.py MinShould): a turn matches
+    when at least `m` of the `ids` occur in it.  Monotone-positive, so
+    block-max pruning stays sound (a match's score sums a SUBSET of the
+    query terms' contributions — the per-term upper bounds still bound
+    it); on the batch bitmask path the predicate is a popcount."""
+
+    ids: tuple[int, ...]
+    m: int
 
 
 @dataclass(frozen=True)
@@ -148,6 +161,17 @@ def lower(
             # signature unchanged
             ids = (prefix_ids or {}).get("re:" + e.pattern.lower(), ())
             return PKeywords(tuple(ids))
+        if isinstance(e, MinShould):
+            ids = []
+            for w in e.words:
+                toks = tokenize_terms(w)
+                if len(toks) != 1:
+                    raise ValueError(
+                        "keywords(min_match=...) words must each tokenize "
+                        f"to exactly one word: {w!r} -> {toks}"
+                    )
+                ids.append(term_of.get(toks[0], 0))
+            return PMinMatch(tuple(ids), int(e.m))
         if isinstance(e, Near):
             lw = lit_ids(e.lhs)
             rw = lit_ids(e.rhs)
@@ -187,6 +211,8 @@ def plan_term_ids(node: PNode) -> set[int]:
         return set(node.ids)
     if isinstance(node, PPhraseAnd):
         return {t for p in node.phrases for t in p}
+    if isinstance(node, PMinMatch):
+        return set(node.ids)
     if isinstance(node, PNear):
         return {node.lhs, node.rhs}
     if isinstance(node, PDiff):
@@ -670,6 +696,18 @@ def eval_match(
         if not ids:
             return ix.empty_match()
         return ix.postings_for(ids).select(*MATCH_COLS).distinct()
+
+    if isinstance(node, PMinMatch):
+        ids = {t for t in node.ids if t > 0}
+        if len(ids) < node.m:
+            return ix.empty_match()  # fewer live terms than the floor
+        return (
+            ix.postings_for(ids)
+            .groupBy(*MATCH_COLS)
+            .agg(F.count_distinct("term_id").alias("_nt"))
+            .where(F.col("_nt") >= node.m)
+            .select(*MATCH_COLS)
+        )
 
     if isinstance(node, PPhrase):
         if not node.ids or 0 in node.ids:
@@ -1190,6 +1228,16 @@ def _batch_pred_sql(
         if not ids:
             return "false"
         return present_any(ids)
+    if isinstance(node, PMinMatch):
+        ids = {t for t in node.ids if t > 0}
+        if len(ids) < node.m:
+            return "false"
+        pop = " + ".join(
+            f"bit_count(m{w} & {c}L)"
+            for w, c in enumerate(_mask_consts(ids, bitpos, n_words))
+            if c
+        )
+        return f"({pop}) >= {node.m}"
     if isinstance(node, PPhrase):
         if not node.ids or 0 in node.ids:
             return "false"
@@ -1267,6 +1315,8 @@ def _literal_texts(expr: Expr) -> list[str]:
         return [expr.text]
     if isinstance(expr, Near):
         return [expr.lhs, expr.rhs]
+    if isinstance(expr, MinShould):
+        return list(expr.words)
     if isinstance(expr, (Fuzzy, Prefix, Regex)):
         return []  # expanded against the dictionary, not tokenized
     return _literal_texts(expr.lhs) + _literal_texts(expr.rhs)

@@ -38,6 +38,7 @@ from .plans.parser import (
     Expr,
     Fuzzy,
     Literal,
+    MinShould,
     Near,
     Or,
     Prefix,
@@ -238,6 +239,14 @@ class OracleIndex:
                 for tid in self.expand_regex(expr.pattern)
                 for key in self.postings.get(tid, ())
             }
+        if isinstance(expr, MinShould):
+            ids = [self.query_term_ids(w) for w in expr.words]
+            flat = [i[0] for i in ids if len(i) == 1 and i[0] > 0]
+            counts: dict[tuple[int, int], int] = {}
+            for tid in set(flat):
+                for key in self.postings.get(tid, ()):
+                    counts[key] = counts.get(key, 0) + 1
+            return {key for key, n in counts.items() if n >= expr.m}
         if isinstance(expr, Near):
             return self._near_matches(expr)
         if isinstance(expr, And):
@@ -317,6 +326,10 @@ class OracleIndex:
             return set(self.expand_fuzzy(expr.text, expr.max_edits))
         if isinstance(expr, Regex):
             return set(self.expand_regex(expr.pattern))
+        if isinstance(expr, MinShould):
+            return {
+                t for w in expr.words for t in self.query_term_ids(w) if t > 0
+            }
         if isinstance(expr, AndNot):
             return self._scoring_term_ids(expr.lhs)  # prohibited side never scores
         return self._scoring_term_ids(expr.lhs) | self._scoring_term_ids(expr.rhs)

@@ -24,7 +24,18 @@ from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame
 
-from .parser import And, AndNot, Expr, Fuzzy, Literal, Near, Or, Prefix, Regex
+from .parser import (
+    And,
+    AndNot,
+    Expr,
+    Fuzzy,
+    Literal,
+    MinShould,
+    Near,
+    Or,
+    Prefix,
+    Regex,
+)
 
 
 def _merge_pred(a: str | None, b: str | None) -> str | None:
@@ -62,10 +73,23 @@ class QueryBuilder:
     def phrase(self, text: str) -> "QueryBuilder":
         return self._add(_phrase_lit(text))
 
-    def keywords(self, *words: str) -> "QueryBuilder":
+    def keywords(self, *words: str, min_match: int | None = None) -> "QueryBuilder":
+        """Keyword clause: OR of `words`, or — with `min_match=m` — the
+        Lucene/ES minimum_should_match form: a turn matches when at
+        least m of the words occur (m=1 ≡ the OR, m=len(words) ≡ the
+        AND; all matched words score either way)."""
         if not words:
             raise ValueError("keywords() needs at least one word")
-        return self._add(_keywords_expr(words))
+        if min_match is None or int(min_match) <= 1:
+            return self._add(_keywords_expr(words))
+        m = int(min_match)
+        if m > len(words):
+            raise ValueError(
+                f"min_match={m} exceeds the {len(words)} given words"
+            )
+        return self._add(
+            MinShould(tuple(w.replace('"', " ") for w in words), m)
+        )
 
     def prefix(self, text: str) -> "QueryBuilder":
         """Wildcard term clause `text*`: matches turns containing ANY
@@ -282,6 +306,8 @@ def _literal_texts(expr: Expr) -> list[str]:
         return [expr.text]
     if isinstance(expr, Near):
         return [expr.lhs, expr.rhs]  # both sides keyword-highlighted
+    if isinstance(expr, MinShould):
+        return list(expr.words)
     if isinstance(expr, (Fuzzy, Prefix, Regex)):
         return []  # dictionary-expanded, not highlighted
     if isinstance(expr, AndNot):

@@ -80,6 +80,20 @@ class Fuzzy(Expr):
 
 
 @dataclass(frozen=True)
+class MinShould(Expr):
+    """minimum_should_match (the Lucene/ES BooleanQuery knob): a turn
+    matches when at least ``m`` of the ``words`` occur in it (each word
+    tokenized/stemmed like any literal).  m=1 is the ordinary OR,
+    m=len(words) the ordinary AND — the interesting middle ground is
+    recall-with-precision over long keyword lists.  All matched words
+    score (standard BooleanQuery scoring).  Beyond-reference extension —
+    builder-only."""
+
+    words: tuple[str, ...]
+    m: int
+
+
+@dataclass(frozen=True)
 class Regex(Expr):
     """Regex term query: matches every dictionary term the pattern
     FULLY matches (Lucene RegexpQuery semantics: anchored to the whole
