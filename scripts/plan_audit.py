@@ -409,6 +409,16 @@ def main() -> None:
         and "GlobalLimitAndOffset" not in plan_pg
     )
 
+    # 5i. minimum_should_match on the batch path must evaluate as a
+    # bitmask popcount (bit_count over the presence masks) with no
+    # Python stage beyond the tokenizer, and still produce the blocks-
+    # path plan (no per-floor join)
+    mm = eng.builder().keywords("roll", "dice", "game", min_match=2)
+    plan_mm = explain_str(eng.search_many_built([mm], k=5))
+    results["minmatch_batch_popcount"] = (
+        "bit_count" in plan_mm and "CartesianProduct" not in plan_mm
+    )
+
     # 6. no cross join in any headline bench query (VERDICT r1: the bench
     # must measure the scale paths, not the sampled pairwise oracles)
     import __spark_entry__ as entrymod
