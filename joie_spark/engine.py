@@ -278,6 +278,45 @@ class Engine:
             direct_threshold=direct_threshold, stats_out=stats_out,
         )
 
+    def search_many_collapsed(
+        self,
+        queries: list,
+        k: int = 10,
+        where: str | None = None,
+        where_doc: str | None = None,
+        optimize: bool = True,
+    ) -> DataFrame:
+        """Batch conversation-collapsed top-k: one row per (query,
+        document), ranked by the document's best matching turn →
+        (query_id, doc_id, turn_idx, score, n_matched) — the grouped-
+        results page at batch throughput.  `queries` mixes strings
+        (reference grammar) and filter-free QueryBuilders (full
+        algebra).  The whole batch shares one candidate scan; the
+        collapse is a (query, doc)-keyed partial aggregation before the
+        two-phase top-k.  Always decodes all candidate blocks: turn-
+        level θ pruning is unsound for doc-level top-k (a doc's best
+        turn below turn-rank k can still make the doc top-k).  Per-query
+        rows are bit-identical to search_collapsed
+        (tests/test_collapse.py)."""
+        from .operators.batch import search_many_exprs
+        from .plans.builder import QueryBuilder
+
+        exprs = []
+        for i, q in enumerate(queries):
+            if isinstance(q, QueryBuilder):
+                if q._where or q._where_doc:
+                    raise ValueError(
+                        f"builder {i} carries filters; batch filters are "
+                        "batch-wide (where/where_doc args)"
+                    )
+                exprs.append(q._require_expr())
+            else:
+                exprs.append(parse_query(q))
+        return search_many_exprs(
+            self.index, exprs, k=k, where=where, where_doc=where_doc,
+            optimize=optimize, collapse=True,
+        )
+
     def search_many_built(
         self,
         builders: list,

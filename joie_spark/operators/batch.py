@@ -79,6 +79,9 @@ from .query import (
 OUT_SCHEMA = T.StructType(
     [T.StructField("query_id", T.IntegerType()), *RESULT_SCHEMA.fields]
 )
+OUT_SCHEMA_COLLAPSED = T.StructType(
+    [*OUT_SCHEMA.fields, T.StructField("n_matched", T.LongType())]
+)
 
 NEG_INF_SQL = "CAST('-Infinity' AS DOUBLE)"
 
@@ -180,6 +183,40 @@ def _two_phase_topk(exploded: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _two_phase_topk_collapsed(best: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k over COLLAPSED (one-row-per-doc) candidates —
+    the same partial-then-merge shape as _two_phase_topk, carrying the
+    best turn and the per-doc match count.  Sort key (-score, doc_id)
+    (doc rows are unique per query)."""
+    item = (
+        "named_struct('ns', -score, 'doc_id', doc_id,"
+        " 'turn_idx', turn_idx, 'score', score, 'n_matched', n_matched)"
+    )
+    partial = (
+        best.select(
+            "query_id", F.spark_partition_id().alias("pid"), F.expr(item).alias("it")
+        )
+        .groupBy("query_id", "pid")
+        .agg(F.expr(f"slice(array_sort(collect_list(it)), 1, {int(k)})").alias("top"))
+    )
+    return (
+        partial.groupBy("query_id")
+        .agg(
+            F.expr(
+                f"slice(array_sort(flatten(collect_list(top))), 1, {int(k)})"
+            ).alias("top")
+        )
+        .select("query_id", F.explode("top").alias("e"))
+        .select(
+            "query_id",
+            F.col("e.doc_id").alias("doc_id"),
+            F.col("e.turn_idx").alias("turn_idx"),
+            F.col("e.score").alias("score"),
+            F.col("e.n_matched").alias("n_matched"),
+        )
+    )
+
+
 def _apply_filters(
     cand: DataFrame, ix: Index, where: str | None, where_doc: str | None
 ) -> DataFrame:
@@ -208,9 +245,14 @@ def _topk_from_cand(
     k: int,
     allowed_blocks: dict[int, list[int]] | None = None,
     dpb: int | None = None,
+    per_doc: bool = False,
 ) -> DataFrame:
     """candidates (doc_id, turn_idx, dl, tfmap, [posmap,] m0..mW) →
-    (query_id, doc_id, turn_idx, score) top-k per query, unordered."""
+    (query_id, doc_id, turn_idx, score) top-k per query, unordered.
+    per_doc=True collapses to one row per (query, doc) — best turn +
+    match count — BEFORE the top-k (conversation collapse; only sound
+    when every matching turn reached this frame, i.e. never under the
+    3-phase θ pruning, which keeps turn-level top-k only)."""
     exploded = cand.select(
         "doc_id",
         "turn_idx",
@@ -225,6 +267,27 @@ def _topk_from_cand(
         "turn_idx",
         F.expr(_score_sql(items, idf, avgdl)).alias("score"),
     )
+    if per_doc:
+        # max(struct(score, -turn_idx)) = best score, ties → lowest turn
+        # (identical rule to query.search_expr_collapsed); one partial-
+        # aggregated groupBy — the frame arrives grouped by (doc, turn)
+        best = (
+            exploded.groupBy("query_id", "doc_id")
+            .agg(
+                F.max(
+                    F.struct(F.col("score"), (-F.col("turn_idx")).alias("nti"))
+                ).alias("best"),
+                F.count("*").alias("n_matched"),
+            )
+            .select(
+                "query_id",
+                "doc_id",
+                (-F.col("best.nti")).cast("int").alias("turn_idx"),
+                F.col("best.score").alias("score"),
+                "n_matched",
+            )
+        )
+        return _two_phase_topk_collapsed(best, k)
     return _two_phase_topk(exploded, k)
 
 
@@ -452,8 +515,14 @@ def _blocks_path(
     probe_blocks: int,
     direct_threshold: int = 32768,
     stats_out: dict | None = None,
+    per_doc: bool = False,
 ) -> DataFrame:
     """Block-max pruned batch top-k for phrase-free queries (unordered).
+
+    per_doc=True (conversation collapse) always decodes all candidate
+    blocks: the 3-phase θ machinery prunes turns outside the TURN-level
+    top-k, but a doc's best turn below turn-rank k can still make the
+    DOC-level top-k, so θ pruning is unsound for collapse.
 
     `stats_out`, when passed, is filled with pruning diagnostics
     (candidate (query, block) pairs, probed block ids, surviving decode
@@ -482,7 +551,7 @@ def _blocks_path(
     # overstated the block count ~12× and mis-routed mid-size indexes
     # into the 3-phase pruning machinery)
     total_blocks = ix.total_blocks
-    if total_blocks <= direct_threshold:
+    if per_doc or total_blocks <= direct_threshold:
         if stats_out is not None:
             stats_out.update({
                 "path": "direct",
@@ -494,7 +563,9 @@ def _blocks_path(
         cand = _apply_filters(
             _cand_from_blocks(blocks_meta, bitpos, n_words), ix, where, where_doc
         )
-        return _topk_from_cand(cand, items, idf, avgdl, bitpos, n_words, k)
+        return _topk_from_cand(
+            cand, items, idf, avgdl, bitpos, n_words, k, per_doc=per_doc
+        )
 
     ub = _ub_per_query(blocks_meta, items, idf, avgdl)
     top = _top_blocks_per_query(ub, probe_blocks)
@@ -697,6 +768,7 @@ def _postings_path(
     k: int,
     where: str | None,
     where_doc: str | None,
+    per_doc: bool = False,
 ) -> DataFrame:
     avgdl = ix.stats["avgdl"]
     # the candidate scan + bitmask layout must cover every PREDICATE term
@@ -713,7 +785,9 @@ def _postings_path(
         _cand_from_postings(ix, all_ids, phrase_ids, bitpos, n_words),
         ix, where, where_doc,
     )
-    return _topk_from_cand(cand, items, idf, avgdl, bitpos, n_words, k)
+    return _topk_from_cand(
+        cand, items, idf, avgdl, bitpos, n_words, k, per_doc=per_doc
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -763,6 +837,7 @@ def search_many_exprs(
     probe_blocks: int = 8,
     direct_threshold: int = 32768,
     stats_out: dict | None = None,
+    collapse: bool = False,
 ) -> DataFrame:
     """search_many over pre-built ASTs — the batch twin of search_expr,
     covering the full query algebra incl. the builder-only extensions
@@ -794,7 +869,9 @@ def search_many_exprs(
         if qids:
             items.append((qid, node, qids))
     if not items:
-        return ix.spark.createDataFrame([], OUT_SCHEMA)
+        return ix.spark.createDataFrame(
+            [], OUT_SCHEMA_COLLAPSED if collapse else OUT_SCHEMA
+        )
 
     n_docs = ix.stats["N"]
     all_ids = sorted({t for _q, _n, qids in items for t in qids})
@@ -833,17 +910,22 @@ def search_many_exprs(
             _blocks_path(
                 ix, flat_items, idf, k, where, where_doc, probe_blocks,
                 direct_threshold=direct_threshold, stats_out=stats_out,
+                per_doc=collapse,
             )
         )
     if phrase_items:
-        parts.append(_postings_path(ix, phrase_items, idf, k, where, where_doc))
+        parts.append(
+            _postings_path(
+                ix, phrase_items, idf, k, where, where_doc, per_doc=collapse
+            )
+        )
     handles = [h for p in parts if (h := getattr(p, "_joie_persisted", None)) is not None]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     out = out.orderBy(
         "query_id", F.desc("score"), F.asc("doc_id"), F.asc("turn_idx")
-    )
+    )  # collapsed rows are unique per (query, doc); the turn key is inert
     if handles:
         # stats_out diagnostics persisted an intermediate (survivor-block
         # set); hand the release handle to the caller — unpersist after

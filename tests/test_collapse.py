@@ -85,6 +85,54 @@ def test_collapsed_builder_algebra(t1_engine, t1_oracle):
     assert got == want
 
 
+def test_batch_collapsed_bit_identical(t1_engine):
+    """search_many_collapsed == per-query search_collapsed, bit for bit,
+    across a mixed batch (flat booleans → blocks path, phrase + near →
+    postings path, min-match popcount) incl. n_matched."""
+    from joie_spark.plans.parser import parse_query
+
+    queries = [
+        "roll OR dice",
+        '"crystal kingdom"',
+        "roll AND dice OR game",
+        "the",
+        t1_engine.builder().near("roll", "dice", 3),
+        t1_engine.builder().keywords("roll", "dice", "game", min_match=2),
+    ]
+    batch = t1_engine.search_many_collapsed(queries, k=10).collect()
+    per_q: dict = {}
+    for r in batch:
+        per_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["turn_idx"], r["score"], r["n_matched"])
+        )
+    for qid, q in enumerate(queries):
+        want = [
+            (r["doc_id"], r["turn_idx"], r["score"], r["n_matched"])
+            for r in t1_engine.search_collapsed(q, k=10).collect()
+        ]
+        assert per_q.get(qid, []) == want, (qid, q)
+
+
+def test_batch_collapsed_filtered(t1_engine):
+    queries = ["roll OR dice", "game"]
+    batch = t1_engine.search_many_collapsed(
+        queries, k=10, where="role = 'user'"
+    ).collect()
+    per_q: dict = {}
+    for r in batch:
+        per_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["turn_idx"], r["score"], r["n_matched"])
+        )
+    for qid, q in enumerate(queries):
+        want = [
+            (r["doc_id"], r["turn_idx"], r["score"], r["n_matched"])
+            for r in t1_engine.search_collapsed(
+                q, k=10, where="role = 'user'"
+            ).collect()
+        ]
+        assert per_q.get(qid, []) == want, q
+
+
 # ---------------------------------------------------------------------------
 # keyset pagination
 
