@@ -1089,6 +1089,23 @@ def q_hybrid_rrf(spark, sf_dir):
     return ann.rrf_fuse([lex, sem], id_col="doc_id", k0=60, topk=10)
 
 
+def q_sem_decon_hits(spark, sf_dir):
+    """Semantic decontamination (pipeline/decontaminate.py semantic_hits):
+    eval set = every corpus vector with vec_id % 100 == 7 (PLANTED
+    contamination — the realistic leakage case: eval examples present in
+    the training pool verbatim, cos = 1.0, identical LSH signature so
+    recall is exactly 1 for them); flag corpus vectors with cos ≥ 0.9 vs
+    any eval vector via the md5-portable hyperplane bucket join + exact
+    cosine verify.  The DuckDB oracle replicates signature, multi-probe
+    expansion, join and verify value-for-value."""
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") != 0)
+    ev = emb.where(F.col("vec_id") % 100 == 7)
+    return decon.semantic_hits(
+        emb, ev, tau=0.9, n_bits=ANN_PORTABLE_BITS, dim=ANN_DIM,
+        probe_hamming=1, portable=True,
+    )
+
+
 def q_ann_lsh_bucketed(spark, sf_dir):  # rows-only (xxhash64 hyperplanes)
     emb = _emb(spark, sf_dir)
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
@@ -1410,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_portable": q_simhash_pairs_portable,
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "sem_decon_hits": q_sem_decon_hits,
         "hybrid_rrf": q_hybrid_rrf,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "ann_lsh_bucketed_portable": q_ann_lsh_bucketed_portable,
@@ -1524,6 +1542,42 @@ def _semdedup_oracle(which: str) -> str:
     return base + """
             SELECT e.vec_id, e.label FROM embeddings e
             WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)"""
+
+
+def _sem_decon_oracle() -> str:
+    """DuckDB twin of q_sem_decon_hits: identical md5-parity hyperplane
+    signatures on both sides, identical multi-probe expansion (identity
+    + every 1-bit flip), bucket equi-join, exact-cosine ≥ 0.9 verify,
+    (max-cos, min-eval_id) witness per flagged corpus vector."""
+    H = ann.portable_hyperplane_components(ANN_PORTABLE_BITS, ANN_DIM)
+    sig = ann.portable_signature_sql(H, "embedding", "{v}[{i}]::DOUBLE")
+    masks = ", ".join(
+        str(m) for m in [0] + [1 << i for i in range(ANN_PORTABLE_BITS)]
+    )
+    return f"""
+            WITH c AS (SELECT vec_id, embedding, {sig} AS sig
+                       FROM embeddings WHERE vec_id != 0),
+            ev0 AS (SELECT vec_id AS eval_id, embedding AS eval_embedding,
+                           {sig.replace('embedding', 'embedding')} AS esig
+                    FROM embeddings WHERE vec_id != 0 AND vec_id % 100 = 7),
+            ev AS (SELECT eval_id, eval_embedding, xor(esig, m) AS sig
+                   FROM ev0 CROSS JOIN unnest([{masks}]) AS t(m)),
+            cand AS (SELECT c.vec_id, c.embedding, ev.eval_id, ev.eval_embedding
+                     FROM c JOIN ev USING (sig)),
+            p AS (
+              SELECT vec_id, eval_id,
+                list_sum(list_transform(generate_series(1, len(embedding)),
+                         i -> embedding[i]::DOUBLE * eval_embedding[i]::DOUBLE))
+                / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+                   * sqrt(list_sum(list_transform(eval_embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos_raw
+              FROM cand),
+            v AS (SELECT * FROM p WHERE cos_raw >= 0.9),
+            best AS (SELECT vec_id, eval_id, cos_raw,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY cos_raw DESC, eval_id) AS rn
+                     FROM v)
+            SELECT vec_id, eval_id, round(cos_raw, 4) AS cos
+            FROM best WHERE rn = 1 ORDER BY vec_id"""
 
 
 def _ann_portable_oracle() -> str:
@@ -2538,6 +2592,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_lists
             FROM ranked GROUP BY doc_id
             ORDER BY rrf_score DESC, doc_id LIMIT 10""",
+        "sem_decon_hits": _sem_decon_oracle(),
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
             p AS (

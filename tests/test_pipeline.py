@@ -1512,3 +1512,44 @@ def test_rrf_fuse_hand_computed(spark):
     assert got == expect
     with pytest.raises(ValueError):
         ann.rrf_fuse([])
+
+
+def test_semantic_decon_planted(spark):
+    """Planted semantic contamination: an eval vector identical to a
+    corpus vector is always flagged (identical signature → recall 1),
+    a near-copy is flagged at tau below its cosine, an orthogonal
+    vector never is; the purge removes exactly the flagged ids."""
+    import math
+
+    from joie_spark.pipeline import decontaminate as dc
+
+    dim = 8
+    base = [1.0] + [0.0] * (dim - 1)
+    near = [math.cos(0.1), math.sin(0.1)] + [0.0] * (dim - 2)  # cos ≈ 0.995
+    far = [math.cos(0.5), math.sin(0.5)] + [0.0] * (dim - 2)   # cos ≈ 0.878
+    orth = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)
+    corpus = spark.createDataFrame(
+        [(10, base), (11, near), (12, orth), (13, far)],
+        "vec_id long, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [(1, base)], "vec_id long, embedding array<double>"
+    )
+    hits = {
+        r["vec_id"]: (r["eval_id"], r["cos"])
+        for r in dc.semantic_hits(
+            corpus, ev, tau=0.99, n_bits=4, dim=dim, portable=True
+        ).collect()
+    }
+    assert hits[10] == (1, 1.0)  # identical: recall exactly 1
+    if 11 in hits:  # cos(0.1) ≥ tau — a hit whenever the buckets collide
+        assert abs(hits[11][1] - round(math.cos(0.1), 4)) < 1e-9
+    assert 13 not in hits  # cos(0.5) ≈ 0.878 < tau: verify rejects it
+    assert 12 not in hits  # orthogonal
+    clean = dc.semantic_decontaminated(
+        corpus, ev, tau=0.99, n_bits=4, dim=dim, portable=True
+    )
+    kept = {r["vec_id"] for r in clean.collect()}
+    assert kept == {10, 11, 12, 13} - set(hits)
+    with pytest.raises(ValueError):
+        dc.semantic_hits(corpus, ev, tau=0.0)
