@@ -617,6 +617,60 @@ class Engine:
             "index_dir": self.index.index_dir,
         }
 
+    def explain_score(
+        self, query, doc_id: int, turn_idx: int
+    ) -> list[dict]:
+        """Per-term BM25 breakdown for one result row (the Lucene
+        Explanation shape): [{term, term_id, tf, df, idf, contribution}]
+        sorted by term_id — contributions sum to the row's search()
+        score exactly (same fold order, same float64 math).  Bounded
+        cost: one pruned postings point-lookup + one dictionary probe;
+        the driver result is at most the query's term count."""
+        from .oracle import bm25_idf as _idf
+        from .oracle import bm25_term as _term
+
+        expr, _w, _wd = self._coerce_query(query, None, None)
+        match, qids, dfs = Q._plan_search(self.index, expr, None, None, True)
+        if not qids:
+            return []
+        rows = (
+            self.index.postings_for(set(qids))
+            .where(
+                (F.col("doc_id") == int(doc_id))
+                & (F.col("turn_idx") == int(turn_idx))
+            )
+            .select("term_id", "tf", "dl")
+            .collect()
+        )
+        if not rows:
+            return []
+        dl = rows[0]["dl"]
+        n_docs = self.index.stats["N"]
+        avgdl = self.index.stats["avgdl"]
+        term_of = {
+            r["term_id"]: r["term"]
+            for r in self.index.term_dict.where(
+                F.col("term_id").isin([int(r["term_id"]) for r in rows])
+            )
+            .select("term_id", "term")
+            .collect()
+        }
+        out = []
+        for r in sorted(rows, key=lambda r: r["term_id"]):
+            df = dfs.get(r["term_id"], 0)
+            idf = _idf(n_docs, df)
+            out.append(
+                {
+                    "term": term_of.get(r["term_id"], "?"),
+                    "term_id": int(r["term_id"]),
+                    "tf": int(r["tf"]),
+                    "df": int(df),
+                    "idf": idf,
+                    "contribution": _term(int(r["tf"]), int(dl), avgdl, idf),
+                }
+            )
+        return out
+
     def explain(self, query: str, where: str | None = None) -> str:
         return self.search(query, where=where)._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(

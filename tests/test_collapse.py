@@ -293,6 +293,26 @@ def test_boost_rejects_multiword_key(t1_engine):
         t1_engine.search_boosted("roll", {"crystal kingdom": 2.0}, k=5)
 
 
+def test_explain_score_sums_to_search_score(t1_engine, t1_oracle):
+    """Per-term contributions, summed in term_id order, reproduce the
+    row's search() score bit-for-bit; tf/df/idf agree with the oracle."""
+    q = "roll OR dice OR game"
+    top = t1_engine.search(q, k=3).collect()
+    for r in top:
+        parts = t1_engine.explain_score(q, r["doc_id"], r["turn_idx"])
+        assert parts, r
+        s = 0.0
+        for p in parts:
+            s += p["contribution"]
+        assert s == r["score"], (r, parts)
+        turn = t1_oracle.turns[(r["doc_id"], r["turn_idx"])]
+        for p in parts:
+            assert p["tf"] == len(turn.positions[p["term_id"]])
+            assert p["df"] == t1_oracle.df[p["term_id"]]
+    # a non-matching row explains to []
+    assert t1_engine.explain_score(q, 10**9, 0) == []
+
+
 # ---------------------------------------------------------------------------
 # recency decay
 
