@@ -463,7 +463,15 @@ def _ub_per_query(blocks_meta: DataFrame, items, idf, avgdl: float) -> DataFrame
     idf_sql = "map({})".format(
         ", ".join(f"{t}L, CAST({idf[t]!r} AS DOUBLE)" for t in sorted(tq))
     )
-    drift = F.greatest(F.lit(1.0), F.lit(float(avgdl)) / F.col("enc_avgdl"))
+    # drift factor + the ULP_GUARD association pad (wand.py has the full
+    # rationale: stored maxima use idf·(num/denom), scorers (idf·num)/
+    # denom — a bound can round a few ulps below a real score and θ-tie
+    # pruning would then drop a genuine top-k row)
+    from .wand import ULP_GUARD
+
+    drift = F.greatest(
+        F.lit(1.0), F.lit(float(avgdl)) / F.col("enc_avgdl")
+    ) * F.lit(ULP_GUARD)
     return (
         blocks_meta.select(
             "block_id",

@@ -86,8 +86,21 @@ def _blocks_for(ix: Index, qids: list[int]) -> DataFrame:
     )
 
 
+# Stored block maxima and query-time scores use DIFFERENT float
+# associations — the build computes idf·(num/denom) per row while every
+# scorer computes (idf·num)/denom (the oracle's exact shape) — so a
+# stored bound can round up to a few ulps BELOW a real score.  When the
+# k-th best score (θ) IS that block's max row, `ub >= θ` is false by one
+# ulp and the block holding a genuine top-k row gets pruned (caught by a
+# hypothesis pagination test at k=3 on a hot term).  ULP_GUARD pads every
+# bound by 2^-48 relative (~3.6e-15 — 16 float64 eps, safely above the
+# ≤4-ulp association discrepancy; zero effect on pruning power).
+ULP_GUARD = 1.0 + 2.0**-48
+
+
 def _avgdl_drift(ix: Index):
-    """Soundness correction for blocks encoded under an older avgdl.
+    """Soundness correction for blocks encoded under an older avgdl,
+    times the ULP_GUARD association pad (above).
 
     A block's stored max_part was computed with enc_avgdl; after an
     incremental append the live avgdl differs.  For any (tf, dl),
@@ -98,7 +111,7 @@ def _avgdl_drift(ix: Index):
     indexes, slightly loose between append and compaction."""
     return F.greatest(
         F.lit(1.0), F.lit(float(ix.stats["avgdl"])) / F.col("enc_avgdl")
-    )
+    ) * F.lit(ULP_GUARD)
 
 
 def _score_blocks(

@@ -104,3 +104,32 @@ def test_batch_blockmax_pruned_equals_single_random(batch, t1_engine):
             for r in t1_engine.search(q, k=3, mode="exhaustive").collect()
         ]
         assert by_q[i] == want, q
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    words=words_strategy,
+    page=st.integers(min_value=1, max_value=9),
+)
+def test_pagination_tiles_any_query_any_page_size(words, page, t1_engine):
+    """Keyset pagination must tile the full ranking for ANY keyword
+    query and ANY page size — no gaps, no overlaps, cursor strictly
+    monotone — matching one big search() page exactly."""
+    q = " OR ".join(words)
+    want = [tuple(r) for r in t1_engine.search(q, k=3 * page).collect()]
+    got, cursor = [], None
+    for _ in range(3):
+        rows = [
+            tuple(r) for r in t1_engine.search_after(q, cursor, k=page).collect()
+        ]
+        if not rows:
+            break
+        got.extend(rows)
+        cursor = rows[-1]
+    assert got == want[: len(got)]
+    assert len(got) == min(3 * page, len(want))
