@@ -170,6 +170,40 @@ def q_near_window(spark, sf_dir):
     return m.where(near).select("doc_id")
 
 
+def q_within_window(spark, sf_dir):
+    """k-term proximity WITHIN(fast, slow, table; window=6) —
+    operators/query.py PWithin (builder-only extension, the Lucene
+    SpanNearQuery shape past two terms): some one-position-per-term
+    choice spans ≤ window.  Evaluated via the anchored-cover
+    reformulation (∃ anchor p in any term's positions: every term has a
+    position in [p, p+w]) — pure codegen, no UDF, no k-way cross
+    product; the DuckDB oracle below deliberately computes the
+    brute-force 3-way position join instead, so a value match proves
+    the two forms equal.  Engine twin pinned in tests/test_within.py."""
+    terms = ["fast", "slow", "table"]
+    w = 6
+    docs = _docs(spark, sf_dir).withColumn("tokens", text.sql_tokens())
+    pos = docs.select(
+        "doc_id", F.posexplode("tokens").alias("p", "term")
+    ).where(F.col("term").isin(terms))
+    per_term = pos.groupBy("doc_id", "term").agg(
+        F.sort_array(F.collect_list("p")).alias("ps")
+    )
+    m = per_term.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "ps"))).alias("pm"),
+        F.count("*").alias("nt"),
+    ).where(F.col("nt") == len(terms))
+    arrs = [F.element_at("pm", F.lit(t)) for t in terms]
+    anchors = F.flatten(F.array(*arrs))
+    within = F.exists(
+        anchors,
+        lambda p: F.exists(arrs[0], lambda q: (q >= p) & (q <= p + w))
+        & F.exists(arrs[1], lambda q: (q >= p) & (q <= p + w))
+        & F.exists(arrs[2], lambda q: (q >= p) & (q <= p + w)),
+    )
+    return m.where(within).select("doc_id")
+
+
 def q_facet_by_lang(spark, sf_dir):
     """Facet counts over a match set (engine.py facets): docs matching
     'fast', counted per lang, ordered n_docs DESC / value ASC — one
@@ -1369,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "and_intersect": q_and_intersect,
         "phrase_adjacency": q_phrase_adjacency,
         "near_window": q_near_window,
+        "within_window": q_within_window,
         "prefix_bm25": q_prefix_bm25,
         "regex_bm25": q_regex_bm25,
         "min_match_bm25": q_min_match_bm25,
@@ -2046,6 +2081,14 @@ def oracle_sql() -> dict[str, str]:
             FROM pos a JOIN pos b USING (doc_id)
             WHERE a.term = 'fast' AND b.term = 'slow'
               AND a.p != b.p AND abs(a.p - b.p) <= 2""",
+        "within_window": f"""
+            WITH tok AS (SELECT doc_id, {TOK_DD} AS ts FROM documents),
+            pos AS (SELECT doc_id, unnest(ts) AS term,
+                           generate_subscripts(ts, 1) AS p FROM tok)
+            SELECT DISTINCT a.doc_id AS doc_id
+            FROM pos a JOIN pos b USING (doc_id) JOIN pos c USING (doc_id)
+            WHERE a.term = 'fast' AND b.term = 'slow' AND c.term = 'table'
+              AND greatest(a.p, b.p, c.p) - least(a.p, b.p, c.p) <= 6""",
         "min_match_bm25": f"""
             WITH tok AS (SELECT doc_id, unnest({TOK_DD}) AS term FROM documents),
             dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),

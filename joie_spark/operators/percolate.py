@@ -45,6 +45,7 @@ from ..plans.parser import (
     Or,
     Prefix,
     Regex,
+    Within,
     parse_query,
 )
 from ..tokenizer import tokenize_terms
@@ -125,6 +126,31 @@ def _pred_sql(e: Expr) -> str:
             f"map_contains_key({_PM}, {a}) AND map_contains_key({_PM}, {b})"
             f" AND exists(element_at({_PM}, {a}), p -> "
             f"exists(element_at({_PM}, {b}), q -> {cond}))"
+        )
+    if isinstance(e, Within):
+        terms = []
+        for w in e.words:
+            toks = tokenize_terms(w)
+            if len(toks) != 1:
+                raise ValueError(
+                    "within() words must each tokenize to exactly one "
+                    f"word: {w!r} -> {toks}"
+                )
+            terms.append(toks[0])
+        terms = sorted(set(terms))  # stem-collapsed dupes: one requirement
+        present = " AND ".join(
+            f"map_contains_key({_PM}, {_sql_str(t)})" for t in terms
+        )
+        if len(terms) == 1:
+            return present
+        arrs = ", ".join(f"element_at({_PM}, {_sql_str(t)})" for t in terms)
+        covered = " AND ".join(
+            f"exists(element_at({_PM}, {_sql_str(t)}), "
+            f"q -> q >= p AND q <= p + {int(e.window)})"
+            for t in terms
+        )
+        return (
+            f"({present}) AND exists(flatten(array({arrs})), p -> {covered})"
         )
     if isinstance(e, And):
         return f"({_pred_sql(e.lhs)}) AND ({_pred_sql(e.rhs)})"

@@ -44,6 +44,7 @@ from ..plans.parser import (
     Or,
     Prefix,
     Regex,
+    Within,
     parse_query,
 )
 from ..sources.tables import read_stats, table_path
@@ -106,6 +107,21 @@ class PNear(PNode):
     rhs: int
     slop: int
     ordered: bool
+
+
+@dataclass(frozen=True)
+class PWithin(PNode):
+    """k-term unordered proximity (plans/parser.py Within): every term
+    in one turn with some one-position-per-term choice spanning ≤
+    `window`.  Rides the phrase machinery — same candidate groupBy
+    (incl. rarest-term-first seeding) — with the anchored cover
+    predicate (∃ anchor p in any term's positions: every term has a
+    position in [p, p+window]; the anchor ranges over candidate span
+    minima, so this equals max−min ≤ window without enumerating the
+    k-way cross product)."""
+
+    ids: tuple[int, ...]  # deduped, sorted
+    window: int
 
 
 @dataclass(frozen=True)
@@ -181,6 +197,19 @@ def lower(
                     f"{e.lhs!r} -> {lw}, {e.rhs!r} -> {rw}"
                 )
             return PNear(lw[0], rw[0], int(e.slop), bool(e.ordered))
+        if isinstance(e, Within):
+            ids = []
+            for w in e.words:
+                toks = tokenize_terms(w)
+                if len(toks) != 1:
+                    raise ValueError(
+                        "within() words must each tokenize to exactly one "
+                        f"word: {w!r} -> {toks}"
+                    )
+                ids.append(term_of.get(toks[0], 0))
+            # stem-collapsed duplicates become one requirement; sorted
+            # for a deterministic plan
+            return PWithin(tuple(sorted(set(ids))), int(e.window))
         if isinstance(e, AndNot):
             return PDiff(rec(e.lhs), rec(e.rhs))
         if isinstance(e, And):
@@ -215,6 +244,8 @@ def plan_term_ids(node: PNode) -> set[int]:
         return set(node.ids)
     if isinstance(node, PNear):
         return {node.lhs, node.rhs}
+    if isinstance(node, PWithin):
+        return set(node.ids)
     if isinstance(node, PDiff):
         return plan_term_ids(node.left)  # prohibited side never scores
     return {t for c in node.children for t in plan_term_ids(c)}
@@ -251,6 +282,8 @@ def _phrase_term_ids(node: PNode) -> set[int]:
         return set(node.ids) if len(node.ids) > 1 else set()
     if isinstance(node, PNear):
         return {node.lhs, node.rhs}
+    if isinstance(node, PWithin):
+        return set(node.ids)
     if isinstance(node, PDiff):
         return _phrase_term_ids(node.left) | _phrase_term_ids(node.right)
     if isinstance(node, PPhraseAnd):
@@ -628,6 +661,26 @@ def _near_pred(posmap: Column, node: "PNear") -> Column:
     return F.exists(lpos, lambda p: F.exists(rpos, inner(p)))
 
 
+def _within_pred(posmap: Column, node: "PWithin") -> Column:
+    """∃ anchor p ∈ ⋃ pos[t]: ∀ t: ∃ q ∈ pos[t]: p ≤ q ≤ p+window —
+    pure codegen.  Sound and complete for max−min ≤ window: a witness
+    choice's minimum is such an anchor, and any anchor's per-term picks
+    span ≤ window.  Cost O(P²·k) over one candidate turn's positions."""
+    arrs = [
+        F.element_at(posmap, F.lit(int(t)).cast("long")) for t in node.ids
+    ]
+    anchors = F.flatten(F.array(*arrs))
+    w = F.lit(int(node.window))
+
+    def covered(p: Column) -> Column:
+        conds = [
+            F.exists(a, lambda q: (q >= p) & (q <= p + w)) for a in arrs
+        ]
+        return reduce(lambda x, y: x & y, conds)
+
+    return F.exists(anchors, covered)
+
+
 # Rarest-term-first seeding engages when the spread between the phrase's
 # hottest and rarest term df crosses this ratio (the scan saved is ~the
 # hot term's share of the postings read) AND the rare term's postings fit
@@ -723,6 +776,15 @@ def eval_match(
             return ix.empty_match()
         cand = _phrase_candidates(ix, {node.lhs, node.rhs}, dfs)
         return cand.where(_near_pred(F.col("posmap"), node)).select(*MATCH_COLS)
+
+    if isinstance(node, PWithin):
+        if not node.ids or 0 in node.ids:
+            return ix.empty_match()  # an OOV word can never co-occur
+        cand = _phrase_candidates(ix, set(node.ids), dfs)
+        if len(node.ids) > 1:
+            cand = cand.where(_within_pred(F.col("posmap"), node))
+        # single distinct term: the span is one position, trivially ≤ w
+        return cand.select(*MATCH_COLS)
 
     if isinstance(node, PPhraseAnd):
         if any((not p or 0 in p) for p in node.phrases):
@@ -1258,6 +1320,19 @@ def _batch_pred_sql(
             f"exists(try_element_at(posmap, {node.rhs}L), q -> {cond}))"
         )
         return f"({present_all({node.lhs, node.rhs})}) AND {near}"
+    if isinstance(node, PWithin):
+        if not node.ids or 0 in node.ids:
+            return "false"
+        if len(node.ids) == 1:
+            return present_all(set(node.ids))
+        arrs = ", ".join(f"try_element_at(posmap, {t}L)" for t in node.ids)
+        covered = " AND ".join(
+            f"exists(try_element_at(posmap, {t}L), "
+            f"q -> q >= p AND q <= p + {node.window})"
+            for t in node.ids
+        )
+        within = f"exists(flatten(array({arrs})), p -> {covered})"
+        return f"({present_all(set(node.ids))}) AND {within}"
     if isinstance(node, PPhraseAnd):
         if any((not p or 0 in p) for p in node.phrases):
             return "false"
@@ -1316,6 +1391,8 @@ def _literal_texts(expr: Expr) -> list[str]:
     if isinstance(expr, Near):
         return [expr.lhs, expr.rhs]
     if isinstance(expr, MinShould):
+        return list(expr.words)
+    if isinstance(expr, Within):
         return list(expr.words)
     if isinstance(expr, (Fuzzy, Prefix, Regex)):
         return []  # expanded against the dictionary, not tokenized

@@ -43,6 +43,7 @@ from .plans.parser import (
     Or,
     Prefix,
     Regex,
+    Within,
     parse_query,
 )
 from .tokenizer import tokenize
@@ -218,6 +219,32 @@ class OracleIndex:
                 out.add(key)
         return out
 
+    def _within_matches(self, expr: Within) -> set[tuple[int, int]]:
+        """Brute force over the k-way position cross product (max−min ≤
+        window) — deliberately NOT the anchored reformulation the engine
+        evaluates, so rank-identity tests prove the two forms equal."""
+        import itertools
+
+        ids: set[int] = set()
+        for w in expr.words:
+            t = self.query_term_ids(w)
+            if len(t) != 1 or t[0] == 0:
+                return set()
+            ids.add(t[0])
+        keys = None
+        for t in ids:
+            ks = set(self.postings.get(t, ()))
+            keys = ks if keys is None else keys & ks
+        out = set()
+        for key in keys or ():
+            turn = self.turns[key]
+            poslists = [turn.positions.get(t, ()) for t in sorted(ids)]
+            for choice in itertools.product(*poslists):
+                if max(choice) - min(choice) <= expr.window:
+                    out.add(key)
+                    break
+        return out
+
     def _eval(self, expr: Expr) -> set[tuple[int, int]]:
         if isinstance(expr, Literal):
             return self._phrase_matches(self.query_term_ids(expr.text))
@@ -249,6 +276,8 @@ class OracleIndex:
             return {key for key, n in counts.items() if n >= expr.m}
         if isinstance(expr, Near):
             return self._near_matches(expr)
+        if isinstance(expr, Within):
+            return self._within_matches(expr)
         if isinstance(expr, And):
             return self._eval(expr.lhs) & self._eval(expr.rhs)
         if isinstance(expr, AndNot):
@@ -327,6 +356,10 @@ class OracleIndex:
         if isinstance(expr, Regex):
             return set(self.expand_regex(expr.pattern))
         if isinstance(expr, MinShould):
+            return {
+                t for w in expr.words for t in self.query_term_ids(w) if t > 0
+            }
+        if isinstance(expr, Within):
             return {
                 t for w in expr.words for t in self.query_term_ids(w) if t > 0
             }

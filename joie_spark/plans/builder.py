@@ -35,6 +35,7 @@ from .parser import (
     Or,
     Prefix,
     Regex,
+    Within,
 )
 
 
@@ -147,6 +148,21 @@ class QueryBuilder:
         if slop < 1:
             raise ValueError("near() slop must be >= 1")
         return self._add(Near(lhs, rhs, int(slop), bool(ordered)))
+
+    def within(self, *words: str, window: int = 8) -> "QueryBuilder":
+        """k-term unordered proximity (Lucene SpanNearQuery shape,
+        generalizing near() past two terms): all `words` (single words,
+        tokenized and stemmed like any literal) co-occur in one turn
+        inside a span of at most `window` token positions (max chosen
+        position − min chosen position ≤ window).  near(a, b, s) equals
+        within(a, b, window=s) — two distinct terms can never share a
+        position, so the q≠p guard is vacuous.  All words score.
+        Beyond-reference extension."""
+        if len(words) < 2:
+            raise ValueError("within() needs at least two words")
+        if window < 1:
+            raise ValueError("within() window must be >= 1")
+        return self._add(Within(tuple(words), int(window)))
 
     def _add(self, e: Expr) -> "QueryBuilder":
         merged = e if self._expr is None else And(self._expr, e)
@@ -308,6 +324,8 @@ def _literal_texts(expr: Expr) -> list[str]:
         return [expr.lhs, expr.rhs]  # both sides keyword-highlighted
     if isinstance(expr, MinShould):
         return list(expr.words)
+    if isinstance(expr, Within):
+        return list(expr.words)  # every word keyword-highlighted
     if isinstance(expr, (Fuzzy, Prefix, Regex)):
         return []  # dictionary-expanded, not highlighted
     if isinstance(expr, AndNot):

@@ -119,6 +119,26 @@ class Near(Expr):
     ordered: bool = False
 
 
+@dataclass(frozen=True)
+class Within(Expr):
+    """k-term unordered proximity (the Lucene SpanNearQuery / surround
+    ``W(a, b, c)`` shape, generalizing :class:`Near` past two terms):
+    a turn matches when some choice of one position per word spans at
+    most ``window`` token positions (max − min ≤ window).  Equivalently
+    — and this is how both evaluation paths compute it without
+    enumerating the k-way cross product — ∃ anchor position p drawn
+    from ANY of the words such that EVERY word has a position in
+    [p, p+window]: the anchor ranges over candidate span minima, so the
+    two forms accept exactly the same turns.  Words tokenize/stem like
+    any literal; all of them participate in BM25 scoring (standard
+    BooleanQuery rule).  Words that stem to the same dictionary term
+    collapse into one requirement.  Beyond-reference extension —
+    builder-only."""
+
+    words: tuple[str, ...]
+    window: int = 8
+
+
 class QueryParseError(ValueError):
     pass
 

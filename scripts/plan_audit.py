@@ -112,6 +112,14 @@ def main() -> None:
         and "ArrowEvalPython" not in plan_near
         and "TakeOrderedAndProject" in plan_near
     )
+    plan_win = explain_str(
+        eng.builder().within("roll", "dice", "game", window=8).top_k(5)
+    )
+    results["within_codegen_no_python"] = (
+        "BatchEvalPython" not in plan_win
+        and "ArrowEvalPython" not in plan_win
+        and "TakeOrderedAndProject" in plan_win
+    )
     plan_diff = explain_str(
         (eng.builder().keywords("roll") - eng.builder().keywords("dice")).top_k(5)
     )
