@@ -219,6 +219,38 @@ def q_facet_by_lang(spark, sf_dir):
     )
 
 
+def q_sig_terms(spark, sf_dir):
+    """Significant terms (engine.py significant_terms — the ES
+    significant_terms aggregation with its default JLH score): terms
+    overrepresented in the docs matching 'fast' vs the whole corpus.
+    fg/bg term frequencies from one tokenize pass each (distinct per
+    doc), totals attached as scalar subqueries, JLH rounded to 6
+    decimals for reproducible ordering (score DESC, term ASC, top 20,
+    fg_df ≥ 2, fg_pct > bg_pct).  The engine twin (postings semi-join
+    against the match set) is pinned in tests/test_sigterms.py."""
+    from joie_spark.pipeline.vocab import _scalar
+
+    docs = _docs(spark, sf_dir).withColumn("tokens", text.sql_tokens())
+    m = docs.where(F.array_contains("tokens", "fast"))
+    tok = lambda df: df.select(  # noqa: E731
+        "doc_id", F.explode(F.array_distinct("tokens")).alias("term")
+    )
+    fg = tok(m).groupBy("term").agg(F.count("*").alias("fg_df"))
+    bg = tok(docs).groupBy("term").agg(F.count("*").alias("bg_df"))
+    n_match = _scalar(m.agg(F.count("*").cast("double").alias("_n")))
+    n_total = _scalar(docs.agg(F.count("*").cast("double").alias("_n")))
+    fg_pct = F.col("fg_df") / n_match
+    bg_pct = F.col("bg_df") / n_total
+    score = F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6)
+    return (
+        fg.join(bg, "term")
+        .where((F.col("fg_df") >= 2) & (fg_pct > bg_pct))
+        .select("term", "fg_df", "bg_df", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(20)
+    )
+
+
 def q_mlt_topk(spark, sf_dir):
     """More-like-this (engine.py more_like_this): doc 0's top-5 terms by
     tf·idf (global df, ties weight DESC / term ASC), run as a keyword OR
@@ -1412,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_route": q_percolate,
         "mlt_topk": q_mlt_topk,
         "facet_by_lang": q_facet_by_lang,
+        "sig_terms": q_sig_terms,
         "bm25_topk": q_bm25_topk,
         "bm25_batch": q_bm25_batch,
         "boosted_bm25": q_boosted_bm25,
@@ -2030,6 +2063,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_contains({TOK_DD}, 'fast')
             GROUP BY lang
             ORDER BY n_docs DESC, value
+            LIMIT 20""",
+        "sig_terms": f"""
+            WITH tok AS (SELECT doc_id, unnest(list_distinct({TOK_DD})) AS term
+                         FROM documents),
+            m AS (SELECT doc_id FROM documents
+                  WHERE list_contains({TOK_DD}, 'fast')),
+            nm AS (SELECT count(*)::DOUBLE AS n FROM m),
+            nt AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            fg AS (SELECT term, count(*)::BIGINT AS fg_df
+                   FROM tok JOIN m USING (doc_id) GROUP BY term),
+            bg AS (SELECT term, count(*)::BIGINT AS bg_df
+                   FROM tok GROUP BY term)
+            SELECT term, fg_df, bg_df,
+                   round((fg_df/nm.n - bg_df/nt.n)
+                         * ((fg_df/nm.n) / (bg_df/nt.n)), 6) AS score
+            FROM fg JOIN bg USING (term) CROSS JOIN nm CROSS JOIN nt
+            WHERE fg_df >= 2 AND fg_df/nm.n > bg_df/nt.n
+            ORDER BY score DESC, term
             LIMIT 20""",
         "mlt_topk": f"""
             WITH tok AS (SELECT doc_id, unnest({TOK_DD}) AS term FROM documents),

@@ -563,6 +563,102 @@ class Engine:
             .limit(int(n))
         )
 
+    def count(
+        self,
+        query,
+        where: str | None = None,
+        where_doc: str | None = None,
+    ) -> dict:
+        """Match counts without ranking (the ES _count endpoint):
+        {'n_turns', 'n_docs'} for a query string or QueryBuilder.  Skips
+        scoring and top-k entirely — one boolean match pass + one
+        aggregate, two driver-bound numbers back."""
+        from .plans.builder import QueryBuilder
+
+        if isinstance(query, QueryBuilder):
+            m = query.matches()
+        else:
+            m = self.match_set(query)
+        if where:
+            m = (
+                m.join(self.index.turns, ["doc_id", "turn_idx"], "inner")
+                .where(where)
+                .select("doc_id", "turn_idx")
+            )
+        if where_doc:
+            m = m.join(
+                self.index.doc_meta.where(where_doc).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+        row = m.agg(
+            F.count("*").alias("n_turns"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        ).first()
+        return {"n_turns": int(row["n_turns"]), "n_docs": int(row["n_docs"])}
+
+    def significant_terms(
+        self,
+        query,
+        k: int = 20,
+        min_fg_df: int = 2,
+    ) -> DataFrame:
+        """ES significant_terms aggregation: terms overrepresented in a
+        query's match set relative to the whole corpus — (term, fg_df,
+        bg_df, score) with the JLH score (the ES default):
+
+            fg_pct = fg_df / |match set|,  bg_pct = bg_df / N
+            score  = (fg_pct − bg_pct) · (fg_pct / bg_pct)
+
+        rounded to 6 decimals for engine-reproducible ordering (score
+        DESC, term ASC, top `k`).  Only terms with fg_pct > bg_pct and
+        fg_df ≥ `min_fg_df` qualify (the ES background-positive rule).
+        The query's own terms are included — they legitimately top the
+        list, exactly as in ES.
+
+        `query` is a string (reference grammar) or a QueryBuilder (full
+        algebra, incl. filters via filter_turns/filter_documents).
+
+        Scale shape: one full postings scan semi-joined against the
+        match set on (doc_id, turn_idx) — the same cost profile as ES
+        computing the aggregation from matched docs' fielddata — then a
+        term_id-keyed partial-agg groupBy (fg term count ≤ vocabulary)
+        and a hash join with the dictionary for term/df.  |match set|
+        attaches as a scalar subquery (no driver-side count, the match
+        set is planned once per branch)."""
+        from .plans.builder import QueryBuilder
+        from .pipeline.vocab import _scalar
+
+        if isinstance(query, QueryBuilder):
+            match = query.matches()
+        else:
+            match = self.match_set(query)
+        m = match.select("doc_id", "turn_idx")
+        n_match = _scalar(m.agg(F.count("*").cast("double").alias("_n")))
+        n_total = float(self.index.stats["N"])
+        fg = (
+            self.index.postings.select("term_id", "doc_id", "turn_idx")
+            .join(m, ["doc_id", "turn_idx"], "left_semi")
+            .groupBy("term_id")
+            .agg(F.count("*").alias("fg_df"))
+            .where(F.col("fg_df") >= int(min_fg_df))
+        )
+        fg_pct = F.col("fg_df") / n_match
+        bg_pct = F.col("df") / F.lit(n_total)
+        score = F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6)
+        return (
+            fg.join(self.index.term_dict.select("term_id", "term", "df"), "term_id")
+            .where(fg_pct > bg_pct)
+            .select(
+                "term",
+                "fg_df",
+                F.col("df").alias("bg_df"),
+                score.alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(int(k))
+        )
+
     def suggest(
         self, word: str, n: int = 5, max_edits: int = 2
     ) -> list[tuple[str, int, int]]:
