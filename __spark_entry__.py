@@ -683,6 +683,101 @@ def q_bm25_batch(spark, sf_dir):
     )
 
 
+def q_rank_eval(spark, sf_dir):
+    """IR metric evaluation over the batch BM25 ranking (ES _rank_eval;
+    the oracle-checkable mirror of Engine.rank_eval — same ES metric
+    definitions, tests/test_rank_eval.py pins the engine twin to
+    hand-rolled metrics).  Judgments are a deterministic modulo rule so
+    both sides derive the identical judged set with no side table:
+    grade 2 when doc_id %% 13 == query_id, else grade 1 when
+    doc_id %% 7 == query_id, else unjudged (grade 0 on retrieved rows).
+    Per query: precision@10, recall@10, MRR, NDCG@10, rounded to 6."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).withColumn("tokens", text.sql_tokens()).cache()
+    tok = docs.select("doc_id", F.explode("tokens").alias("term"))
+    dl = docs.select("doc_id", F.size("tokens").cast("long").alias("dl"))
+    st = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n, avgdl = st["n"], st["avgdl"]
+    all_terms = sorted({t for ts in BATCH_TERMS.values() for t in ts})
+    tf = (
+        tok.where(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    base = tf.join(dfc, "term").join(dl, "doc_id")
+    per_q = []
+    for qid, terms in BATCH_TERMS.items():
+        contrib = (
+            F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * F.lit(2.2))
+            / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
+        )
+        per_q.append(
+            base.where(F.col("term").isin(list(terms)))
+            .groupBy("doc_id")
+            .agg(F.sum(contrib).alias("s"))
+            .select(F.lit(qid).alias("query_id"), "doc_id", "s")
+        )
+    import functools
+
+    scored = functools.reduce(DataFrame.unionByName, per_q)
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("doc_id"))
+    grade = (
+        F.when(F.col("doc_id") % 13 == F.col("query_id"), 2)
+        .when(F.col("doc_id") % 7 == F.col("query_id"), 1)
+        .otherwise(0)
+    )
+    g = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .withColumn("grade", grade)
+    )
+    rel = F.when(F.col("grade") > 0, 1).otherwise(0)
+    per = g.groupBy("query_id").agg(
+        (F.sum(rel) / F.count("*")).alias("p"),
+        F.sum(rel).cast("double").alias("nrel_ret"),
+        F.max(F.when(F.col("grade") > 0, F.lit(1.0) / F.col("rank"))).alias("mrr0"),
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("grade")) - 1.0)
+            / F.log2(F.col("rank") + F.lit(1.0))
+        ).alias("dcg"),
+    )
+    qids = spark.createDataFrame([(q,) for q in BATCH_TERMS], "query_id int")
+    jd = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(qids))
+        .withColumn("grade", grade)
+        .where(F.col("grade") > 0)
+    )
+    wj = Window.partitionBy("query_id").orderBy(F.desc("grade"), F.asc("doc_id"))
+    ideal = (
+        jd.withColumn("r", F.row_number().over(wj))
+        .where(F.col("r") <= 10)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("grade")) - 1.0)
+                / F.log2(F.col("r") + F.lit(1.0))
+            ).alias("idcg")
+        )
+    )
+    tot = jd.groupBy("query_id").agg(F.count("*").cast("double").alias("n_rel"))
+    return (
+        per.join(ideal, "query_id")
+        .join(tot, "query_id")
+        .select(
+            "query_id",
+            F.round("p", 6).alias("precision_k"),
+            F.round(F.col("nrel_ret") / F.col("n_rel"), 6).alias("recall_k"),
+            F.round(F.coalesce("mrr0", F.lit(0.0)), 6).alias("mrr"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def q_union_dedup(spark, sf_dir):
     d = _docs(spark, sf_dir)
     a = d.where(F.col("lang") == "en").select("doc_id")
@@ -1447,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sig_terms": q_sig_terms,
         "bm25_topk": q_bm25_topk,
         "bm25_batch": q_bm25_batch,
+        "rank_eval": q_rank_eval,
         "boosted_bm25": q_boosted_bm25,
         "collapse_topk": q_collapse_topk,
         "search_after_page2": q_search_after_page2,
@@ -1522,6 +1618,7 @@ _BPE = text.BPE_PATTERN
 _BATCH_ALL = ",".join(
     f"'{t}'" for t in sorted({t for ts in BATCH_TERMS.values() for t in ts})
 )
+_RE_QIDS = ", ".join(f"({q})" for q in BATCH_TERMS)
 _BATCH_UNION = " UNION ALL ".join(
     f"""SELECT {qid} AS query_id, doc_id,
         sum(ln(1.0 + (st.n - df + 0.5)/(df + 0.5)) * (tf * 2.2)
@@ -2286,6 +2383,55 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             SELECT query_id, doc_id, round(s, 4) AS score FROM r
             WHERE rn <= 10 ORDER BY query_id, s DESC, doc_id""",
+        "rank_eval": f"""
+            WITH tok AS (SELECT doc_id, unnest({TOK_DD}) AS term FROM documents),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+            st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+                   WHERE term IN ({_BATCH_ALL}) GROUP BY doc_id, term),
+            dfc AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            base AS (SELECT tf.doc_id, tf.term, tf.tf, dfc.df, dl.dl
+                     FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id)),
+            scored AS ({_BATCH_UNION}),
+            r AS (SELECT query_id, doc_id, s,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY s DESC, doc_id) AS rank
+                  FROM scored),
+            g AS (SELECT query_id, doc_id, rank,
+                         CASE WHEN doc_id % 13 = query_id THEN 2
+                              WHEN doc_id % 7 = query_id THEN 1
+                              ELSE 0 END AS grade
+                  FROM r WHERE rank <= 10),
+            per AS (SELECT query_id,
+                           sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END)::DOUBLE
+                             / count(*) AS p,
+                           sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END)::DOUBLE
+                             AS nrel_ret,
+                           max(CASE WHEN grade > 0 THEN 1.0/rank END) AS mrr0,
+                           sum((pow(2.0, grade) - 1.0)/log2(rank + 1.0)) AS dcg
+                    FROM g GROUP BY query_id),
+            jd AS (SELECT q.query_id, d.doc_id,
+                          CASE WHEN d.doc_id % 13 = q.query_id THEN 2
+                               ELSE 1 END AS grade
+                   FROM documents d CROSS JOIN (VALUES {_RE_QIDS}) q(query_id)
+                   WHERE d.doc_id % 13 = q.query_id
+                      OR d.doc_id % 7 = q.query_id),
+            ij AS (SELECT query_id, grade,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY grade DESC, doc_id) AS rr
+                   FROM jd),
+            ideal AS (SELECT query_id,
+                             sum((pow(2.0, grade) - 1.0)/log2(rr + 1.0)) AS idcg
+                      FROM ij WHERE rr <= 10 GROUP BY query_id),
+            tot AS (SELECT query_id, count(*)::DOUBLE AS n_rel
+                    FROM jd GROUP BY query_id)
+            SELECT query_id,
+                   round(p, 6) AS precision_k,
+                   round(nrel_ret/n_rel, 6) AS recall_k,
+                   round(coalesce(mrr0, 0.0), 6) AS mrr,
+                   round(dcg/idcg, 6) AS ndcg_k
+            FROM per JOIN ideal USING (query_id) JOIN tot USING (query_id)
+            ORDER BY query_id""",
         "union_dedup": """
             SELECT DISTINCT doc_id FROM (
               SELECT doc_id FROM documents WHERE lang = 'en'

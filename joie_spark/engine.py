@@ -767,6 +767,161 @@ class Engine:
             )
         return out
 
+    def term_vectors(
+        self, doc_id: int, turn_idx: int | None = None
+    ) -> DataFrame:
+        """ES _termvectors endpoint: per-term statistics for one
+        conversation, or for one turn of it when `turn_idx` is given.
+
+        Conversation level returns (term, term_id, tf, df): tf summed
+        over the conversation's turns, df the corpus-wide document
+        frequency from the dictionary (the reference's TermMap df,
+        engine/src/term_map.rs).  Turn level adds (positions,
+        start_offsets, end_offsets): token indices within the turn plus
+        UTF-8 byte ranges recovered from the row store's starts/ends
+        arrays (sentence.rs:36-44 contract) with pure-codegen array ops
+        — no re-tokenization.  Ordered term ASC.  Unknown or deleted
+        doc_ids return no rows (dead handles, like get_doc).
+
+        Bounded cost: one row-store point lookup (tombstone-aware via
+        get_doc) + one dictionary hash join with the per-doc term set
+        broadcast (a conversation's distinct terms are driver-small by
+        construction; the dictionary side streams)."""
+        t = self.get_doc(doc_id)
+        if turn_idx is not None:
+            g = t.where(F.col("turn_idx") == int(turn_idx)).select(
+                "starts", "ends", F.explode("grouped").alias("g")
+            )
+            per = g.select(
+                F.col("g.term").alias("term"),
+                F.col("g.tf").alias("tf"),
+                F.col("g.positions").alias("positions"),
+                F.transform(
+                    "g.positions", lambda p: F.get("starts", p)
+                ).alias("start_offsets"),
+                F.transform(
+                    "g.positions", lambda p: F.get("ends", p)
+                ).alias("end_offsets"),
+            )
+        else:
+            per = (
+                t.select(F.explode("grouped").alias("g"))
+                .groupBy(F.col("g.term").alias("term"))
+                .agg(F.sum("g.tf").cast("int").alias("tf"))
+            )
+        dict_ = self.index.term_dict.select("term", "term_id", "df")
+        cols = ["term", "term_id", "tf", "df"] + (
+            ["positions", "start_offsets", "end_offsets"]
+            if turn_idx is not None
+            else []
+        )
+        return (
+            F.broadcast(per).join(dict_, "term").select(*cols).orderBy("term")
+        )
+
+    def rank_eval(self, requests: dict, k: int = 10) -> DataFrame:
+        """ES _rank_eval endpoint: IR quality metrics for judged queries.
+
+        `requests` maps each query string to its judgment list of
+        (doc_id, turn_idx, grade) triples (grade 0 = judged irrelevant;
+        retrieved rows with no judgment count as grade 0 — the ES
+        default).  Returns one row per query, ordered query_id ASC:
+        (query_id, query, precision_k, recall_k, mrr, ndcg_k), each
+        rounded to 6 decimals.  Metric definitions (ES rank_eval):
+
+          precision@k = relevant retrieved / retrieved (≤ k)
+          recall@k    = relevant retrieved / total judged-relevant
+          mrr         = 1 / rank of the first relevant retrieved row
+          ndcg@k      = DCG@k / ideal DCG@k, DCG = Σ (2^grade − 1)
+                        / log2(rank + 1)
+
+        Queries with no relevant judgments (or no hits) score 0.0, not
+        null.  Ranks use the engine's total result order (score DESC,
+        doc_id, turn_idx) so metrics are deterministic under ties.
+
+        Scale shape: ONE search_many batch for all queries (the shared
+        candidate scan), judgments broadcast (driver-small by
+        construction), then per-query pure-codegen window/agg — no
+        per-query jobs, no driver-side metric loops."""
+        from pyspark.sql.window import Window
+
+        qs = list(requests)
+        if not qs:
+            raise ValueError("rank_eval() needs at least one query")
+        res = self.search_many(qs, k=k)
+        wr = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id"), F.asc("turn_idx")
+        )
+        ranked = res.withColumn("rank", F.row_number().over(wr))
+        jrows = [
+            (i, int(d), int(t), int(g))
+            for i, q in enumerate(qs)
+            for (d, t, g) in requests[q]
+        ]
+        judg = self.spark.createDataFrame(
+            jrows, "query_id int, doc_id long, turn_idx int, grade int"
+        )
+        rel = F.when(F.col("grade") > 0, 1).otherwise(0)
+        j = ranked.join(
+            F.broadcast(judg), ["query_id", "doc_id", "turn_idx"], "left"
+        ).fillna({"grade": 0})
+        per = j.groupBy("query_id").agg(
+            (F.sum(rel) / F.count("*")).alias("p_at_k"),
+            F.sum(rel).cast("double").alias("nrel_ret"),
+            F.max(
+                F.when(F.col("grade") > 0, F.lit(1.0) / F.col("rank"))
+            ).alias("mrr0"),
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("grade")) - 1.0)
+                / F.log2(F.col("rank") + F.lit(1.0))
+            ).alias("dcg"),
+        )
+        wj = Window.partitionBy("query_id").orderBy(
+            F.desc("grade"), F.asc("doc_id"), F.asc("turn_idx")
+        )
+        ideal = (
+            judg.where(F.col("grade") > 0)
+            .withColumn("r", F.row_number().over(wj))
+            .where(F.col("r") <= int(k))
+            .groupBy("query_id")
+            .agg(
+                F.sum(
+                    (F.pow(F.lit(2.0), F.col("grade")) - 1.0)
+                    / F.log2(F.col("r") + F.lit(1.0))
+                ).alias("idcg")
+            )
+        )
+        totals = judg.groupBy("query_id").agg(
+            F.sum(rel).cast("double").alias("n_rel")
+        )
+        spine = self.spark.createDataFrame(
+            list(enumerate(qs)), "query_id int, query string"
+        )
+        z = F.lit(0.0)
+        return (
+            spine.join(per, "query_id", "left")
+            .join(ideal, "query_id", "left")
+            .join(totals, "query_id", "left")
+            .select(
+                "query_id",
+                "query",
+                F.round(F.coalesce("p_at_k", z), 6).alias("precision_k"),
+                F.round(
+                    F.coalesce(
+                        F.col("nrel_ret")
+                        / F.when(F.col("n_rel") > 0, F.col("n_rel")),
+                        z,
+                    ),
+                    6,
+                ).alias("recall_k"),
+                F.round(F.coalesce("mrr0", z), 6).alias("mrr"),
+                F.round(
+                    F.coalesce(F.col("dcg") / F.col("idcg"), z), 6
+                ).alias("ndcg_k"),
+            )
+            .orderBy("query_id")
+        )
+
     def explain(self, query: str, where: str | None = None) -> str:
         return self.search(query, where=where)._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
