@@ -225,6 +225,29 @@ class Engine:
             where_doc=where_doc, optimize=optimize,
         )
 
+    def search_function_score(
+        self,
+        query,
+        weight_expr: str,
+        k: int = 10,
+        where: str | None = None,
+        where_doc: str | None = None,
+        optimize: bool = True,
+    ) -> DataFrame:
+        """BM25 top-k × a deterministic SQL weight over turn metadata
+        (ES function_score filter/weight functions): e.g.
+        ``search_function_score(q, "CASE WHEN role='assistant' THEN 2.0
+        ELSE 1.0 END")``.  Generalizes search_decayed (the ts special
+        case) and complements search_boosted (per-term weights).
+        Matching unchanged; one extra turns join, column-pruned to what
+        `weight_expr` references.  Pinned to a Python recomputation in
+        tests/test_rank_eval.py."""
+        expr, where, where_doc = self._coerce_query(query, where, where_doc)
+        return Q.search_expr_function_score(
+            self.index, expr, weight_expr, k=k, where=where,
+            where_doc=where_doc, optimize=optimize,
+        )
+
     def _coerce_query(
         self, query, where: str | None, where_doc: str | None
     ) -> tuple[Expr, str | None, str | None]:

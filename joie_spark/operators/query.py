@@ -1033,6 +1033,52 @@ def search_expr_decayed(
     )
 
 
+def search_expr_function_score(
+    ix: Index,
+    expr: Expr,
+    weight_expr: str,
+    k: int = 10,
+    where: str | None = None,
+    where_doc: str | None = None,
+    optimize: bool = True,
+) -> DataFrame:
+    """BM25 top-k reweighted by an arbitrary SQL expression over the
+    turn's row-store metadata (the Elasticsearch function_score
+    filter/weight shape — e.g. ``CASE WHEN role = 'assistant' THEN 2.0
+    ELSE 1.0 END``, or any expression over conv_id/role/tool/ts/dl).
+    The recency decay path (search_expr_decayed) is the ts special case
+    of this; boosts (search_expr_boosted) are the query-term special
+    case.  `weight_expr` must be deterministic (no rand()/now()) — the
+    caller's contract, same as `where`.  Numeric-literal gotcha: Spark
+    SQL parses ``1.0`` as DECIMAL, so ``1.0/(1.0+dl)`` divides in
+    decimal before the double cast (ULP drift vs float64); write double
+    literals as ``1e0`` (or CAST) when bit-exact scores matter.
+
+    Matching is unchanged (weights reweight, never filter; a weight of
+    0 can sink a row below top-k but it still matched).  Scale shape:
+    identical to decay — one (doc_id, turn_idx) inner join of the
+    scored frame against the turns row store for metadata (Catalyst
+    prunes the fetch to the columns `weight_expr` actually references),
+    one scalar multiply, TakeOrderedAndProject top-k."""
+    if not weight_expr or not weight_expr.strip():
+        raise ValueError("weight_expr must be a non-empty SQL expression")
+    match, qids, dfs = _plan_search(ix, expr, where, where_doc, optimize)
+    scored = scored_matches(ix, match, qids, dfs=dfs)
+    with_meta = scored.join(
+        ix.turns.select(*MATCH_COLS, "conv_id", "role", "tool", "ts", "dl"),
+        MATCH_COLS,
+        "inner",
+    )
+    w = F.expr(weight_expr).cast("double")
+    return (
+        with_meta.select(
+            "doc_id", "turn_idx", (F.col("score") * w).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("turn_idx"))
+        .limit(k)
+    )
+
+
 def search_expr_boosted(
     ix: Index,
     expr: Expr,

@@ -154,3 +154,58 @@ def test_rank_eval_oov_query_scores_zero(t1_engine):
         0.0,
         0.0,
     )
+
+
+# ---------------------------------------------------------------------------
+# function_score (filter/weight over turn metadata)
+
+
+def _oracle_weighted(oracle, query, weight_fn, k):
+    """All oracle matches rescored by weight_fn(turn), re-ranked."""
+    allm = oracle.search(query, k=10**6)
+    rescored = [
+        (d, t, s * weight_fn(oracle.turns[(d, t)])) for d, t, s in allm
+    ]
+    rescored.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return rescored[:k]
+
+
+def test_function_score_role_weight_rank_identical(t1_engine, t1_oracle):
+    q = "roll OR dice"
+    want = _oracle_weighted(
+        t1_oracle, q, lambda t: 2.0 if t.role == "assistant" else 1.0, 10
+    )
+    got = [
+        (r["doc_id"], r["turn_idx"], r["score"])
+        for r in t1_engine.search_function_score(
+            q, "CASE WHEN role = 'assistant' THEN 2.0 ELSE 1.0 END", k=10
+        ).collect()
+    ]
+    assert got == want  # bit-identical scores, exact order
+
+
+def test_function_score_dl_weight_rank_identical(t1_engine, t1_oracle):
+    q = "the"
+    want = _oracle_weighted(t1_oracle, q, lambda t: 1.0 / (1.0 + t.dl), 10)
+    got = [
+        (r["doc_id"], r["turn_idx"], r["score"])
+        for r in t1_engine.search_function_score(
+            q, "1e0 / (1e0 + dl)", k=10  # 1e0: double literal (1.0 is DECIMAL in Spark SQL)
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_function_score_constant_one_equals_search(t1_engine):
+    q = "roll OR dice"
+    base = [tuple(r) for r in t1_engine.search(q, k=10).collect()]
+    fs = [
+        tuple(r)
+        for r in t1_engine.search_function_score(q, "1.0", k=10).collect()
+    ]
+    assert fs == base
+
+
+def test_function_score_rejects_empty_expr(t1_engine):
+    with pytest.raises(ValueError):
+        t1_engine.search_function_score("roll", "  ")
