@@ -225,6 +225,27 @@ class Engine:
             where_doc=where_doc, optimize=optimize,
         )
 
+    def search_docs(
+        self,
+        query,
+        k: int = 10,
+        where: str | None = None,
+        where_doc: str | None = None,
+        optimize: bool = True,
+    ) -> DataFrame:
+        """Conversation-level BM25 top-k (the ES/Lucene document-ranking
+        shape): a conversation matches when any turn matches; it scores
+        with true doc-level BM25 (tf summed across turns, dl =
+        total_dl, df/N/avgdl over conversations) → (doc_id, score).
+        Complements search_collapsed, which ranks docs by their single
+        best turn.  Pinned bit-identical to a Python recomputation in
+        tests/test_rank_eval.py."""
+        expr, where, where_doc = self._coerce_query(query, where, where_doc)
+        return Q.search_docs_expr(
+            self.index, expr, k=k, where=where, where_doc=where_doc,
+            optimize=optimize,
+        )
+
     def search_function_score(
         self,
         query,

@@ -326,6 +326,7 @@ class Index:
         )
         self._blocks: DataFrame | None = None
         self._doc_meta: DataFrame | None = None
+        self._doc_stats: tuple[int, float] | None = None
         self._tombstones: DataFrame | None | bool = False  # False = unread
         self._registry_tombstones: DataFrame | None | bool = False
 
@@ -355,6 +356,26 @@ class Index:
             ) + 1
             self.stats["n_docs"] = v
         return int(v)
+
+    def doc_stats(self) -> tuple[int, float]:
+        """(n_docs_registered, avgdl_doc): conversation-level BM25 corpus
+        statistics for search_docs — registered-conversation count and
+        mean conversation length.  The mean is derived from the EXACT
+        integer sum of total_dl (long addition is associative, so the
+        result is deterministic across partitionings; a float avg() agg
+        would drift by partial-agg order).  Includes tombstoned-but-
+        unpurged docs — the same Lucene-style stats drift the turn-level
+        path accepts until compact.  One metadata-scale agg, cached per
+        Index instance (the engine reloads the Index on delete/compact,
+        invalidating it)."""
+        if self._doc_stats is None:
+            r = self.doc_meta.agg(
+                F.count("*").alias("n"),
+                F.sum("total_dl").cast("long").alias("s"),
+            ).collect()[0]
+            n = int(r["n"])
+            self._doc_stats = (n, (int(r["s"] or 0) / n) if n else 0.0)
+        return self._doc_stats
 
     @property
     def total_blocks(self) -> int:
@@ -1076,6 +1097,96 @@ def search_expr_function_score(
         )
         .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("turn_idx"))
         .limit(k)
+    )
+
+
+def search_docs_expr(
+    ix: Index,
+    expr: Expr,
+    k: int = 10,
+    where: str | None = None,
+    where_doc: str | None = None,
+    optimize: bool = True,
+) -> DataFrame:
+    """Conversation-level BM25 top-k — rank whole documents, not turns.
+
+    A conversation matches when ANY of its turns matches the boolean
+    query (the existential lift; `where`/`where_doc` filter the turn
+    match set before lifting, so "docs with a matching USER turn" works).
+    It scores with TRUE document-level BM25: tf summed over all the
+    conversation's turns, dl = the conversation's total_dl, df =
+    distinct conversations containing the term, N/avgdl over
+    conversations.  This is the ES/Lucene document-ranking shape;
+    search_expr_collapsed is the other lift (rank docs by their single
+    best turn) — collapse favors one strong turn, search_docs favors
+    sustained relevance across the conversation.
+
+    → (doc_id, score) top-k, score DESC then doc_id ASC.
+
+    Scale shape: the match set lifts to docs with one distinct; doc
+    tf is the term_id-pruned postings scan semi-joined to matching docs
+    and aggregated on (term_id, doc_id); per-term doc-df is one partial
+    agg over the same pruned scan, collected bounded (≤ |query terms|
+    rows, like dfs); the per-doc fold reuses the sorted-struct
+    F.aggregate so float64 scores are bit-identical to the Python
+    recompute (tests/test_rank_eval.py).  Stats drift under unpurged
+    tombstones matches the turn-level path (frozen until compact)."""
+    match, qids, dfs = _plan_search(ix, expr, where, where_doc, optimize)
+    qset = sorted({t for t in qids if t > 0})
+    out_schema = T.StructType([RESULT_SCHEMA[0], RESULT_SCHEMA[2]])
+    if not qset:
+        return ix.spark.createDataFrame([], out_schema)
+    n_docs, avgdl_doc = ix.doc_stats()
+    if not n_docs or not avgdl_doc:
+        return ix.spark.createDataFrame([], out_schema)
+    post = ix.postings_for(set(qset))
+    dfd = {
+        r["term_id"]: r["dfd"]
+        for r in post.select("term_id", "doc_id")
+        .distinct()
+        .groupBy("term_id")
+        .agg(F.count("*").alias("dfd"))
+        .collect()
+    }
+    idf_map = F.map_from_arrays(
+        F.array([F.lit(int(t)).cast("long") for t in qset]),
+        F.array([F.lit(bm25_idf(n_docs, dfd.get(t, 0))) for t in qset]),
+    )
+    mdocs = match.select("doc_id").distinct()
+    tfdoc = (
+        post.join(mdocs, "doc_id", "left_semi")
+        .groupBy("term_id", "doc_id")
+        .agg(F.sum("tf").cast("int").alias("tf"))
+    )
+    cand = tfdoc.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("term_id", "tf"))).alias(
+            "contribs"
+        )
+    )
+    withdl = cand.join(
+        ix.doc_meta.select("doc_id", "total_dl"), "doc_id", "inner"
+    )
+    dl = F.col("total_dl").cast("double")
+    score = F.aggregate(
+        F.col("contribs"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (
+            (
+                F.element_at(idf_map, x["term_id"])
+                * (x["tf"].cast("double") * F.lit(K1 + 1.0))
+            )
+            / (
+                x["tf"].cast("double")
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + (F.lit(B) * dl) / F.lit(avgdl_doc))
+            )
+        ),
+    )
+    return (
+        withdl.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
     )
 
 

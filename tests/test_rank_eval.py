@@ -209,3 +209,76 @@ def test_function_score_constant_one_equals_search(t1_engine):
 def test_function_score_rejects_empty_expr(t1_engine):
     with pytest.raises(ValueError):
         t1_engine.search_function_score("roll", "  ")
+
+
+# ---------------------------------------------------------------------------
+# search_docs (conversation-level BM25)
+
+
+def _oracle_doc_search(oracle, q, k, role=None):
+    """True doc-level BM25 over the existentially-lifted match set,
+    folded in term_id order (the engine's sorted-struct fold)."""
+    from joie_spark.oracle import bm25_idf, bm25_term
+    from joie_spark.operators.query import _literal_texts
+    from joie_spark.plans.parser import parse_query
+    from joie_spark.tokenizer import tokenize_terms
+
+    words = sorted(
+        {w for lit in _literal_texts(parse_query(q)) for w in tokenize_terms(lit)}
+    )
+    qids = sorted({oracle.term_id[w] for w in words if w in oracle.term_id})
+    matches = oracle.match_set(q)
+    if role is not None:
+        matches = {key for key in matches if oracle.turns[key].role == role}
+    mdocs = sorted({d for d, _t in matches})
+    n_docs = len(oracle.doc_meta)
+    avgdl = sum(m["total_dl"] for m in oracle.doc_meta.values()) / n_docs
+    dfd = {
+        t: len({d for d, _ti in oracle.postings.get(t, ())}) for t in qids
+    }
+    tf_by_doc = {d: {} for d in mdocs}
+    for (d, _ti), turn in oracle.turns.items():
+        if d not in tf_by_doc:
+            continue
+        for t in qids:
+            if t in turn.positions:
+                tf_by_doc[d][t] = tf_by_doc[d].get(t, 0) + len(
+                    turn.positions[t]
+                )
+    out = []
+    for d in mdocs:
+        dl = oracle.doc_meta[d]["total_dl"]
+        s = 0.0
+        for t in qids:
+            tf = tf_by_doc[d].get(t, 0)
+            if tf:
+                s += bm25_term(tf, dl, avgdl, bm25_idf(n_docs, dfd[t]))
+        out.append((d, s))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize(
+    "q", ["roll OR dice", "the", '"crystal kingdom"', "roll AND dice OR game"]
+)
+def test_search_docs_rank_identical(q, t1_engine, t1_oracle):
+    want = _oracle_doc_search(t1_oracle, q, 10)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in t1_engine.search_docs(q, k=10).collect()
+    ]
+    assert got == want  # bit-identical doc-level scores, exact order
+
+
+def test_search_docs_where_filters_match_not_score(t1_engine, t1_oracle):
+    q = "roll OR dice"
+    want = _oracle_doc_search(t1_oracle, q, 10, role="user")
+    got = [
+        (r["doc_id"], r["score"])
+        for r in t1_engine.search_docs(q, k=10, where="role = 'user'").collect()
+    ]
+    assert got == want
+
+
+def test_search_docs_oov_empty(t1_engine):
+    assert t1_engine.search_docs("zzzzunseenzzz").count() == 0
