@@ -147,6 +147,28 @@ def main() -> None:
     plan_perc = explain_str(perc)
     results["percolate_no_exchange"] = "Exchange" not in plan_perc
 
+    # 4g. function_score: metadata join must not break top-k lowering or
+    # introduce a cross join; the weight stays in codegen (no Python).
+    plan_fs = explain_str(
+        eng.search_function_score(
+            "roll OR dice", "CASE WHEN role='assistant' THEN 2e0 ELSE 1e0 END"
+        )
+    )
+    results["function_score_take_ordered_no_python"] = (
+        "TakeOrderedAndProject" in plan_fs
+        and "CartesianProduct" not in plan_fs
+        and "PythonUDF" not in plan_fs
+    )
+
+    # 4h. search_docs (doc-level BM25): term-pruned postings scan, doc
+    # fold in codegen, TakeOrderedAndProject top-k, no cross join.
+    plan_sd = explain_str(eng.search_docs("roll OR dice", k=10))
+    results["search_docs_take_ordered_pruned"] = (
+        "TakeOrderedAndProject" in plan_sd
+        and "CartesianProduct" not in plan_sd
+        and "bucket" in plan_sd
+    )
+
     # 5. batch path: partition-pruned scans, no cross join, and the
     # phrase-free queries run on the COMPRESSED blocks table (VERDICT r2):
     # the plan must contain the blocks scan (docids/tfs binary columns +
