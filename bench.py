@@ -243,6 +243,17 @@ def main() -> None:
             assert n_p2 > 0
         timings["engine_query_collapsed"] = min(spreads["engine_query_collapsed"])
         timings["engine_query_page2"] = min(spreads["engine_query_page2"])
+        # doc-level BM25 (search_docs): same match scan + a per-doc
+        # aggregation — should price like collapse, not like a rebuild
+        eng.search_docs(ENGINE_QUERIES[1], k=10).collect()  # warm
+        for _rep in range(REPS):
+            t0 = time.time()
+            n_sd = len(eng.search_docs(ENGINE_QUERIES[1], k=10).collect())
+            spreads.setdefault("engine_query_docs", []).append(
+                round(time.time() - t0, 3)
+            )
+            assert n_sd > 0
+        timings["engine_query_docs"] = min(spreads["engine_query_docs"])
         # stopword-phrase A/B (VERDICT r4 item 2): '"the dup"' has an
         # extreme df spread in this corpus (the ~3.9k vs dup 250).  The
         # seed leg FORCES the broadcast semi-join on (floor 0 — the

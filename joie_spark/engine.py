@@ -503,6 +503,29 @@ class Engine:
         lut = self.index.lookup_terms(words)
         return [lut[w][0] if w in lut else 0 for w in words]
 
+    def analyze(self, text: str) -> list[dict]:
+        """ES _analyze endpoint: run the index's analysis chain
+        (UAX#29-approx segmentation → lowercase → Snowball stem) on raw
+        text, driver-side → [{token, term_id, start_offset, end_offset,
+        position}].  Offsets are UTF-8 bytes (the reference's
+        sentence.rs:36-44 token contract); term_id 0 = OOV
+        (term_map.rs:94-99).  Bounded cost: pure-Python tokenization +
+        one dictionary probe for the distinct tokens; no other jobs."""
+        from .tokenizer import tokenize
+
+        toks = tokenize(text or "")
+        lut = self.index.lookup_terms(sorted({t.term for t in toks}))
+        return [
+            {
+                "token": t.term,
+                "term_id": lut[t.term][0] if t.term in lut else 0,
+                "start_offset": t.start,
+                "end_offset": t.end,
+                "position": i,
+            }
+            for i, t in enumerate(toks)
+        ]
+
     def get_doc(self, doc_id: int) -> DataFrame:
         """All turns of a conversation (Database::get_doc, lib.rs:104-110).
         Deleted conversations return no rows (doc_ids of deleted docs are

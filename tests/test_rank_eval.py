@@ -282,3 +282,30 @@ def test_search_docs_where_filters_match_not_score(t1_engine, t1_oracle):
 
 def test_search_docs_oov_empty(t1_engine):
     assert t1_engine.search_docs("zzzzunseenzzz").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# analyze (driver-side analysis chain)
+
+
+def test_analyze_matches_tokenizer_and_dict(t1_engine, t1_oracle):
+    txt = "The Crystal KINGDOM rolls... zzzzunseenzzz dice!"
+    from joie_spark.tokenizer import tokenize
+
+    toks = tokenize(txt)
+    want = [
+        {
+            "token": t.term,
+            "term_id": t1_oracle.term_id.get(t.term, 0),
+            "start_offset": t.start,
+            "end_offset": t.end,
+            "position": i,
+        }
+        for i, t in enumerate(toks)
+    ]
+    assert t1_engine.analyze(txt) == want
+    assert any(e["term_id"] == 0 for e in want)  # the OOV token is exercised
+
+
+def test_analyze_empty(t1_engine):
+    assert t1_engine.analyze("") == []
