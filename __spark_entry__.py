@@ -1211,6 +1211,50 @@ def q_ann_cosine_topk(spark, sf_dir):
     return ann.cosine_topk(emb.where(F.col("vec_id") != 0), qv, k=10)
 
 
+def q_knn_label_eval(spark, sf_dir):
+    """kNN-classifier evaluation over the embedding table (the
+    embedding-quality probe a training pipeline runs after re-embedding):
+    for 20 probe vectors, brute-force cosine top-5 neighbours (self
+    excluded), majority-vote the neighbours' labels (count DESC, label
+    ASC tiebreak — deterministic), compare to the probe's own label →
+    (vec_id, true_label, pred_label, correct).  Scale shape: probes
+    broadcast against the base scan (same as ann_cosine_topk), per-probe
+    window top-5, label vote is a tiny (probe, label) partial agg."""
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir)
+    probes = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("true_label"),
+    )
+    j = (
+        emb.select("vec_id", "embedding", "label")
+        .crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("qid"))
+    )
+    cos = ann.cosine_expr(F.col("embedding"), F.col("qe"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    top = (
+        j.select("qid", "true_label", "vec_id", "label", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+    )
+    votes = top.groupBy("qid", "true_label", "label").agg(
+        F.count("*").alias("v")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("v"), F.asc("label"))
+    pred = votes.withColumn("r", F.row_number().over(wv)).where(F.col("r") == 1)
+    return pred.select(
+        F.col("qid").alias("vec_id"),
+        "true_label",
+        F.col("label").alias("pred_label"),
+        F.when(F.col("label") == F.col("true_label"), 1)
+        .otherwise(0)
+        .alias("correct"),
+    ).orderBy("vec_id")
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval via Reciprocal Rank Fusion (pipeline/ann.py
     rrf_fuse — Cormack et al. 2009): the BM25 top-20 lexical list fused
@@ -1591,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_portable": q_simhash_pairs_portable,
         "embedding_neardup": q_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "knn_label_eval": q_knn_label_eval,
         "sem_decon_hits": q_sem_decon_hits,
         "hybrid_rrf": q_hybrid_rrf,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
@@ -2844,6 +2889,32 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0)
             SELECT vec_id, round(dot/(na*nb), 4) AS cos FROM p
             ORDER BY dot/(na*nb) DESC, vec_id LIMIT 10""",
+        "knn_label_eval": """
+            WITH probes AS (SELECT vec_id AS qid, embedding AS qe,
+                                   label AS tl
+                            FROM embeddings WHERE vec_id < 20),
+            d AS (SELECT p.qid, p.tl, e.vec_id, e.label,
+                    list_sum(list_transform(generate_series(1, len(e.embedding)),
+                             i -> e.embedding[i]::DOUBLE * p.qe[i]::DOUBLE))
+                    / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                       * sqrt(list_sum(list_transform(p.qe, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+                  FROM embeddings e CROSS JOIN probes p
+                  WHERE e.vec_id != p.qid),
+            top AS (SELECT qid, tl, label FROM (
+                      SELECT qid, tl, label,
+                             row_number() OVER (PARTITION BY qid
+                                                ORDER BY cos DESC, vec_id) AS rn
+                      FROM d) WHERE rn <= 5),
+            votes AS (SELECT qid, tl, label, count(*) AS v
+                      FROM top GROUP BY qid, tl, label),
+            pred AS (SELECT qid, tl, label FROM (
+                       SELECT qid, tl, label,
+                              row_number() OVER (PARTITION BY qid
+                                                 ORDER BY v DESC, label) AS r
+                       FROM votes) WHERE r = 1)
+            SELECT qid AS vec_id, tl AS true_label, label AS pred_label,
+                   CASE WHEN label = tl THEN 1 ELSE 0 END AS correct
+            FROM pred ORDER BY vec_id""",
         "ppl_score": _ppl_oracle(tiers=False),
         "ppl_tiers": _ppl_oracle(tiers=True),
         "quality_score": f"""
