@@ -1517,6 +1517,47 @@ def q_events_by_type(spark, sf_dir):
     )
 
 
+def q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization over the events table (the batch twin of
+    streaming/sessionizer.py's stateful conversation sessionizer): a new
+    session starts when a user's inter-event gap exceeds 30 minutes —
+    lag + integer cumsum inside one user-partitioned window (all exact
+    integer arithmetic: deterministic under any partitioning).  Per
+    user: session count, event count, and the largest session's event
+    count.  Scale shape: ONE hash-partition-by-user shuffle; both
+    windows and the final agg reuse that partitioning (no second
+    exchange)."""
+    from pyspark.sql.window import Window
+
+    # ts is TIMESTAMP_NTZ; epoch seconds via a two-step cast.  Any fixed
+    # session-timezone offset cancels in the gap differences, so the
+    # sessionization is timezone-invariant.
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    new_s = F.when(
+        F.col("ts_s") - F.lag("ts_s").over(w) > 1800, 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id", F.sum(new_s).over(w).cast("long")
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_ev")
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("n_ev").cast("long").alias("n_events"),
+            F.max("n_ev").cast("long").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1655,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "join_revenue_topk": q_join_revenue_topk,
         "events_by_type": q_events_by_type,
+        "user_sessions": q_user_sessions,
     }
 
 
@@ -2967,4 +3009,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*)::BIGINT AS cnt,
                    sum(CAST(value AS DECIMAL(18,4)))::DOUBLE AS sum_value
             FROM events GROUP BY event_type""",
+        "user_sessions": """
+            WITH ev AS (SELECT user_id, epoch(ts)::BIGINT AS ts_s, event_id
+                        FROM events),
+            g AS (SELECT user_id, ts_s, event_id,
+                         CASE WHEN ts_s - lag(ts_s) OVER
+                                (PARTITION BY user_id ORDER BY ts_s, event_id)
+                              > 1800 THEN 1 ELSE 0 END AS new_s
+                  FROM ev),
+            s AS (SELECT user_id,
+                         sum(new_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts_s, event_id
+                                          ROWS UNBOUNDED PRECEDING)::BIGINT
+                           AS session_id
+                  FROM g),
+            per AS (SELECT user_id, session_id, count(*)::BIGINT AS n_ev
+                    FROM s GROUP BY user_id, session_id)
+            SELECT user_id, count(*)::BIGINT AS n_sessions,
+                   sum(n_ev)::BIGINT AS n_events,
+                   max(n_ev)::BIGINT AS max_session_events
+            FROM per GROUP BY user_id ORDER BY user_id""",
     }
