@@ -1509,6 +1509,69 @@ def q_join_revenue_topk(spark, sf_dir):
     )
 
 
+def q_funnel_counts(spark, sf_dir):
+    """Strict-order conversion funnel over the events table: users who
+    VIEWed, then CLICKed after their first view, then PURCHASEd after
+    that first qualifying click — the product-analytics staple.  Each
+    stage is one user-keyed conditional aggregate; the per-user frames
+    share the user_id hash partitioning so the three stages cost one
+    shuffle lineage, never a self-cross-join.  Deterministic: stage
+    anchors are MIN timestamps (ties collapse to the same anchor).
+    → one row per step with the surviving-user count."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+    )
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts_s").alias("t1")
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts_s") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts_s") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t3"))
+    )
+    rows = [
+        v.agg(F.lit(1).alias("step"), F.lit("view").alias("name"),
+              F.count("*").cast("long").alias("users")),
+        c.agg(F.lit(2).alias("step"), F.lit("click_after_view").alias("name"),
+              F.count("*").cast("long").alias("users")),
+        p.agg(F.lit(3).alias("step"), F.lit("purchase_after_click").alias("name"),
+              F.count("*").cast("long").alias("users")),
+    ]
+    import functools
+
+    return functools.reduce(DataFrame.unionByName, rows).orderBy("step")
+
+
+def q_props_k_stats(spark, sf_dir):
+    """Semi-structured extraction: pull the integer `k` out of the JSON
+    props column and aggregate it per event type (get_json_object stays
+    in JVM codegen — no Python).  → (event_type, n, sum_k, avg_k)."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("k").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.sum("k").cast("double") / F.count("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_events_by_type(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -1697,6 +1760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue_topk": q_join_revenue_topk,
         "events_by_type": q_events_by_type,
         "user_sessions": q_user_sessions,
+        "funnel_counts": q_funnel_counts,
+        "props_k_stats": q_props_k_stats,
     }
 
 
@@ -3029,4 +3094,31 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_ev)::BIGINT AS n_events,
                    max(n_ev)::BIGINT AS max_session_events
             FROM per GROUP BY user_id ORDER BY user_id""",
+        "funnel_counts": """
+            WITH ev AS (SELECT user_id, event_type, epoch(ts)::BIGINT AS ts_s
+                        FROM events),
+            v AS (SELECT user_id, min(ts_s) AS t1 FROM ev
+                  WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts_s) AS t2
+                  FROM ev e JOIN v USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts_s > v.t1
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts_s) AS t3
+                  FROM ev e JOIN c USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts_s > c.t2
+                  GROUP BY e.user_id)
+            SELECT 1 AS step, 'view' AS name, count(*)::BIGINT AS users FROM v
+            UNION ALL
+            SELECT 2, 'click_after_view', count(*)::BIGINT FROM c
+            UNION ALL
+            SELECT 3, 'purchase_after_click', count(*)::BIGINT FROM p
+            ORDER BY step""",
+        "props_k_stats": """
+            WITH ev AS (SELECT event_type,
+                               json_extract_string(props, '$.k')::BIGINT AS k
+                        FROM events)
+            SELECT event_type, count(k)::BIGINT AS n,
+                   sum(k)::BIGINT AS sum_k,
+                   round(sum(k)::DOUBLE / count(k), 4) AS avg_k
+            FROM ev GROUP BY event_type ORDER BY event_type""",
     }
