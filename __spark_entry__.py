@@ -1509,6 +1509,50 @@ def q_join_revenue_topk(spark, sf_dir):
     )
 
 
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape (local-supplier revenue by nation): lineitem joins
+    orders on orderkey, then customer/supplier/nation/region — with the
+    same-nation constraint (c_nationkey = s_nationkey) and a region
+    filter.  The Spark-first physical story: every dimension side is
+    BROADCAST (region→nation→customer/supplier are metadata-scale next
+    to the fact tables), so the only shuffle is the lineitem⋈orders
+    fact join + the final small groupBy.  Revenue sums in
+    DECIMAL(18,2) (exact, engine-order-independent) and casts to double
+    only in the projection, so values hash-match DuckDB exactly."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    nr = n.join(
+        F.broadcast(r.where(F.col("r_name").isin("ASIA", "EUROPE"))),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("rev_d"), F.count("*").cast("long").alias("n_items"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("rev_d").cast("double").alias("revenue"),
+            "n_items",
+        )
+        .orderBy(F.desc("rev_d"), F.asc("n_name"))
+    )
+
+
 def q_funnel_counts(spark, sf_dir):
     """Strict-order conversion funnel over the events table: users who
     VIEWed, then CLICKed after their first view, then PURCHASEd after
@@ -1762,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "funnel_counts": q_funnel_counts,
         "props_k_stats": q_props_k_stats,
+        "local_supplier_volume": q_local_supplier_volume,
     }
 
 
@@ -3121,4 +3166,24 @@ def oracle_sql() -> dict[str, str]:
                    sum(k)::BIGINT AS sum_k,
                    round(sum(k)::DOUBLE / count(k), 4) AS avg_k
             FROM ev GROUP BY event_type ORDER BY event_type""",
+        "local_supplier_volume": """
+            SELECT n.n_name AS nation,
+                   sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l.l_discount AS DECIMAL(18,2))))::DOUBLE
+                     AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name IN ('ASIA', 'EUROPE')
+            GROUP BY n.n_name
+            ORDER BY sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2))
+                            - CAST(l.l_discount AS DECIMAL(18,2)))) DESC,
+                     n.n_name""",
     }
