@@ -507,6 +507,46 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def q_bm25_docs_topk(spark, sf_dir):
+    """Document-level BM25 over synthetic conversations (grp = doc_id %
+    50, the collapse_topk grouping) — the oracle-checkable mirror of
+    Engine.search_docs' scoring math: tf summed within the group, dl =
+    the group's total token count, df = distinct groups containing the
+    term, N/avgdl over groups (avgdl from exact integer sums).  Top-10
+    groups by score."""
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("tokens", text.sql_tokens())
+        .withColumn("grp", (F.col("doc_id") % 50).cast("long"))
+        .cache()
+    )
+    tok = docs.select("grp", F.explode("tokens").alias("term"))
+    gdl = tok.groupBy("grp").agg(F.count("*").cast("long").alias("dl"))
+    st = gdl.agg(
+        F.count("*").alias("n"), F.sum("dl").cast("long").alias("s")
+    ).collect()[0]
+    n, avgdl = int(st["n"]), int(st["s"]) / int(st["n"])
+    tf = (
+        tok.where(F.col("term").isin(list(BM25_TERMS)))
+        .groupBy("grp", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    j = tf.join(dfc, "term").join(gdl, "grp")
+    contrib = (
+        F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * F.lit(2.2))
+        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        j.groupBy("grp")
+        .agg(F.sum(contrib).alias("s"))
+        .select("grp", F.round("s", 4).alias("score"))
+        .orderBy(F.desc("s"), F.asc("grp"))
+        .limit(10)
+    )
+
+
 def q_boosted_bm25(spark, sf_dir):
     """Per-term query-time boosts (engine.py search_boosted — Lucene
     `term^w`): the flagship BM25 query with window^3, query^0.25 — each
@@ -1735,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_batch": q_bm25_batch,
         "rank_eval": q_rank_eval,
+        "bm25_docs_topk": q_bm25_docs_topk,
         "boosted_bm25": q_boosted_bm25,
         "collapse_topk": q_collapse_topk,
         "search_after_page2": q_search_after_page2,
@@ -2505,6 +2546,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sum(ln(1.0 + (st.n - dfc.df + 0.5)/(dfc.df + 0.5))
                          * (tf.tf * 2.2)
                          / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl))) DESC, tf.doc_id
+            LIMIT 10""",
+        "bm25_docs_topk": f"""
+            WITH g AS (SELECT doc_id % 50 AS grp, unnest({TOK_DD}) AS term
+                       FROM documents),
+            dl AS (SELECT grp, count(*)::BIGINT AS dl FROM g GROUP BY grp),
+            st AS (SELECT count(*)::DOUBLE AS n,
+                          sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+                   FROM dl),
+            tf AS (SELECT grp, term, count(*)::DOUBLE AS tf FROM g
+                   WHERE term IN ({_TERMS3}) GROUP BY grp, term),
+            dfc AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+            SELECT tf.grp AS grp,
+                   round(sum(ln(1.0 + (st.n - dfc.df + 0.5)/(dfc.df + 0.5))
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl))), 4) AS score
+            FROM tf JOIN dfc USING (term) JOIN dl USING (grp) CROSS JOIN st
+            GROUP BY tf.grp
+            ORDER BY sum(ln(1.0 + (st.n - dfc.df + 0.5)/(dfc.df + 0.5))
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl))) DESC, tf.grp
             LIMIT 10""",
         "boosted_bm25": f"""
             WITH tok AS (SELECT doc_id, unnest({TOK_DD}) AS term FROM documents),
