@@ -1656,6 +1656,28 @@ def q_props_k_stats(spark, sf_dir):
     )
 
 
+def q_events_daily(spark, sf_dir):
+    """Date-histogram aggregation (the ES date_histogram / dashboard
+    time-series shape): events per (day, event_type) with the value sum
+    in DECIMAL(18,4) (exact, order-independent).  One groupBy on the
+    truncated day — at 100 TB this is the partition-friendly rollup
+    (day would be the table's partition key)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
 def q_events_by_type(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -1845,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue_topk": q_join_revenue_topk,
         "events_by_type": q_events_by_type,
         "user_sessions": q_user_sessions,
+        "events_daily": q_events_daily,
         "funnel_counts": q_funnel_counts,
         "props_k_stats": q_props_k_stats,
         "local_supplier_volume": q_local_supplier_volume,
@@ -3200,6 +3223,12 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_ev)::BIGINT AS n_events,
                    max(n_ev)::BIGINT AS max_session_events
             FROM per GROUP BY user_id ORDER BY user_id""",
+        "events_daily": """
+            SELECT date_trunc('day', ts)::DATE AS day, event_type,
+                   count(*)::BIGINT AS cnt,
+                   sum(CAST(value AS DECIMAL(18,4)))::DOUBLE AS sum_value
+            FROM events GROUP BY day, event_type
+            ORDER BY day, event_type""",
         "funnel_counts": """
             WITH ev AS (SELECT user_id, event_type, epoch(ts)::BIGINT AS ts_s
                         FROM events),
