@@ -44,6 +44,14 @@ high-water mark, which a purge never lowers).
 Everything is manifest-logged and resumable mid-delete, same recipe as
 append: begin (pins the target set + base stats) → tombstones →
 term_dict → stats/commit, each stage an idempotent per-gen overwrite.
+
+Cadence guidance (VERDICT r4): each delete op costs a fixed ~3 driver
+validation jobs plus one tombstone generation and one dictionary DELTA
+partition that every subsequent dictionary read must resolve — so batch
+delete sets into one call (delete_convs takes the whole list; one gen
+per CALL, not per conv) on a daily-ish cadence rather than per-conv,
+and run compact_index periodically to fold deltas and purge.  Same
+micro-batch sizing logic as streaming appends (streaming/ingest.py).
 """
 
 from __future__ import annotations
