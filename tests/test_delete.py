@@ -426,3 +426,45 @@ def test_get_doc_skips_registry_after_purge(spark, t1_rows, tmp_path):
     eng.delete([live_conv])
     assert eng.index.registry_tombstones is not None
     assert eng.get_doc(docs[live_conv]).count() == 0
+
+
+def _docs_by_conv(eng, q):
+    res = eng.search_docs(q, k=100000)
+    convs = eng.index.doc_meta.select("doc_id", "conv_id")
+    return sorted(
+        (r["conv_id"], r["score"]) for r in res.join(convs, "doc_id").collect()
+    )
+
+
+def test_search_docs_excludes_deleted(deleted):
+    """Doc-level BM25 never resurfaces a tombstoned conversation, and the
+    matching CONV SET equals the rebuild's (boolean matching is
+    drift-free; scores drift until compact because doc-level stats keep
+    tombstoned rows — the documented Lucene semantics)."""
+    ref, eng, gone = deleted
+    for q in QUERIES[:3]:
+        got = _docs_by_conv(eng, q)
+        assert not any(c in set(gone) for c, _s in got), q
+        assert {c for c, _ in got} == {
+            c for c, _ in _docs_by_conv(ref, q)
+        }, q
+
+
+def test_search_docs_compact_equals_rebuild(spark, t1_rows, tmp_path):
+    """After compact physically purges, doc-level stats (doc count,
+    integer total_dl sum, per-term doc-df) all equal a rebuild over the
+    survivors, so search_docs scores are bit-identical keyed by conv."""
+    from joie_spark.engine import Engine
+
+    kw = dict(n_buckets=8, docs_per_block=8, block_chunks=1)
+    a, gone = _split(t1_rows)
+    ref = Engine.build(
+        spark, spark.createDataFrame(a), str(tmp_path / "sd_ref"), **kw
+    )
+    eng = Engine.build(
+        spark, spark.createDataFrame(t1_rows), str(tmp_path / "sd_eng"), **kw
+    )
+    eng.delete(gone)
+    eng.compact()
+    for q in QUERIES[:3]:
+        assert _docs_by_conv(eng, q) == _docs_by_conv(ref, q), q
