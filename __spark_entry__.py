@@ -818,6 +818,24 @@ def q_rank_eval(spark, sf_dir):
     )
 
 
+def q_topk_per_lang(spark, sf_dir):
+    """Windowed top-N per group (the 'top 2 longest docs per language'
+    dashboard shape): one hash shuffle on lang, rank inside the
+    partition, no global sort.  Deterministic tiebreak (n_chars DESC,
+    doc_id ASC)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 2)
+        .orderBy("lang", "rk")
+    )
+
+
 def q_union_dedup(spark, sf_dir):
     d = _docs(spark, sf_dir)
     a = d.where(F.col("lang") == "en").select("doc_id")
@@ -1798,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch": q_bm25_batch,
         "rank_eval": q_rank_eval,
         "bm25_docs_topk": q_bm25_docs_topk,
+        "topk_per_lang": q_topk_per_lang,
         "boosted_bm25": q_boosted_bm25,
         "collapse_topk": q_collapse_topk,
         "search_after_page2": q_search_after_page2,
@@ -2713,6 +2732,14 @@ def oracle_sql() -> dict[str, str]:
                    round(dcg/idcg, 6) AS ndcg_k
             FROM per JOIN ideal USING (query_id) JOIN tot USING (query_id)
             ORDER BY query_id""",
+        "topk_per_lang": """
+            SELECT lang, doc_id, n_chars, rk FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id)
+                       AS rk
+              FROM documents)
+            WHERE rk <= 2 ORDER BY lang, rk""",
         "union_dedup": """
             SELECT DISTINCT doc_id FROM (
               SELECT doc_id FROM documents WHERE lang = 'en'
