@@ -327,6 +327,7 @@ class Index:
         self._blocks: DataFrame | None = None
         self._doc_meta: DataFrame | None = None
         self._doc_stats: tuple[int, float] | None = None
+        self._dfd_cache: dict[int, int] = {}
         self._tombstones: DataFrame | None | bool = False  # False = unread
         self._registry_tombstones: DataFrame | None | bool = False
 
@@ -1140,14 +1141,24 @@ def search_docs_expr(
     if not n_docs or not avgdl_doc:
         return ix.spark.createDataFrame([], out_schema)
     post = ix.postings_for(set(qset))
-    dfd = {
-        r["term_id"]: r["dfd"]
-        for r in post.select("term_id", "doc_id")
-        .distinct()
-        .groupBy("term_id")
-        .agg(F.count("*").alias("dfd"))
-        .collect()
-    }
+    # per-term doc-df is a corpus statistic (≤ |query terms| numbers):
+    # cache it on the Index so repeated queries sharing terms skip the
+    # postings re-scan (the Engine reloads the Index on append/delete/
+    # compact, invalidating the cache with the rest of the handles)
+    missing = [t for t in qset if t not in ix._dfd_cache]
+    if missing:
+        rows = (
+            ix.postings_for(set(missing))
+            .select("term_id", "doc_id")
+            .distinct()
+            .groupBy("term_id")
+            .agg(F.count("*").alias("dfd"))
+            .collect()
+        )
+        ix._dfd_cache.update({r["term_id"]: r["dfd"] for r in rows})
+        for t in missing:  # terms with zero postings
+            ix._dfd_cache.setdefault(t, 0)
+    dfd = {t: ix._dfd_cache[t] for t in qset}
     idf_map = F.map_from_arrays(
         F.array([F.lit(int(t)).cast("long") for t in qset]),
         F.array([F.lit(bm25_idf(n_docs, dfd.get(t, 0))) for t in qset]),
