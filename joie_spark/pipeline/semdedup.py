@@ -44,7 +44,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .ann import (
-    cosine_expr,
     dot_expr,
     make_ivf_assign_udf,
     norm_expr,
@@ -89,8 +88,15 @@ def with_cells_and_ccos(
             *[F.array(*[F.lit(float(x)) for x in row]) for row in C]
         )
         dcell = dot_expr(F.col("embedding"), F.element_at(c_lit, F.col("cell") + 1))
-    ccr = F.round(dcell / norm_expr(F.col("embedding")), 4)
-    return m.select("vec_id", "embedding", "cell", ccr.alias("ccr"))
+    # the row's norm is projected ONCE here so the pair join downstream
+    # can compute cosine as dot/(na*nb) — bit-identical arithmetic to
+    # cosine_expr (same sqrt-of-fold, same product, same division) but
+    # the two O(d) norm folds run n times instead of once per PAIR
+    nrm = norm_expr(F.col("embedding"))
+    ccr = F.round(dcell / nrm, 4)
+    return m.select(
+        "vec_id", "embedding", "cell", ccr.alias("ccr"), nrm.alias("nrm")
+    )
 
 
 def semdedup_drops(
@@ -106,22 +112,36 @@ def semdedup_drops(
     One equi-join on cell; the (ccr, vec_id) tuple order and the rounded
     cosine threshold are post-match predicates.  Deterministic across
     runs, cluster sizes, and engines (both the order key and the cosine
-    compare at 4 decimals)."""
+    compare at 4 decimals).
+
+    Join parallelism (guide §2.5): `cell` alone has only k distinct
+    values — with the paper-small k of the test corpora every pair
+    evaluation lands on ≤ k tasks however many cores exist.  The b side
+    is therefore salted with pmod(vec_id, S) and the a side replicated
+    across all S salts: the pair set is untouched (pair (a,b) appears
+    exactly at salt pmod(b, S)) but the Σ|cell|² dot-product work spreads
+    over k·S tasks.  Per-pair cosine reuses the per-row norms projected
+    by with_cells_and_ccos (dot/(na·nb) — bit-identical to cosine_expr)."""
+    n_salts = 16
     m = with_cells_and_ccos(emb, C, portable=portable)
     a = m.select(
         F.col("vec_id").alias("a"),
         F.col("embedding").alias("ea"),
         "cell",
         F.col("ccr").alias("cca"),
+        F.col("nrm").alias("na"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("salt"),
     )
     b = m.select(
         F.col("vec_id").alias("b"),
         F.col("embedding").alias("eb"),
         "cell",
         F.col("ccr").alias("ccb"),
+        F.col("nrm").alias("nb"),
+        F.pmod(F.col("vec_id"), F.lit(n_salts)).cast("int").alias("salt"),
     )
-    cos = F.round(cosine_expr(F.col("ea"), F.col("eb")), 4)
-    pairs = a.join(b, "cell").where(
+    cos = F.round(dot_expr(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4)
+    pairs = a.join(b, ["cell", "salt"]).where(
         (F.struct(F.col("cca"), F.col("a")) < F.struct(F.col("ccb"), F.col("b")))
         & (cos >= F.lit(float(threshold)))
     )
