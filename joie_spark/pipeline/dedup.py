@@ -458,31 +458,28 @@ def duplicate_clusters(
       stop early at fixpoint (the `changed` count is a tiny
       1-row-per-partition action).
 
-    Either way the pair source is consumed ONCE into a persisted
-    symmetric edge list first: the routing count, the collect, and every
-    propagation round all read the cache, and an unpersisted edge frame
-    would re-execute the whole upstream pair PIPELINE (banded LSH +
-    exact verify — a full corpus scan) per consumer — measured as the
+    Either way the pair source is consumed ONCE into a persisted edge
+    list first: the routing count, the collect, and every propagation
+    round all read the cache, and an unpersisted edge frame would
+    re-execute the whole upstream pair PIPELINE (banded LSH + exact
+    verify — a full corpus scan) per consumer — measured as the
     previous dominant cost at sf0.1, and O(rounds) corpus scans at
-    100 TB.  The cache is released before returning (the result's
-    lineage is cut by the final localCheckpoint / createDataFrame)."""
-    edges = pairs.select("a", "b")
-    sym = (
-        edges.unionByName(
-            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        .toDF("src", "dst")
-        .persist()
-    )
-    n_pairs = sym.count() // 2
+    100 TB.  The persist sits BELOW the symmetric doubling (round 6):
+    persisting the union instead made its one materialization execute
+    the pair pipeline once per union branch — the upstream scan ran
+    twice before anything was cached.  The cache is released before
+    returning (the result's lineage is cut by the final
+    localCheckpoint / createDataFrame)."""
+    edges = pairs.select("a", "b").persist()
+    n_pairs = edges.count()
     if n_pairs <= driver_max_pairs:
         try:
             labels = _union_find_clusters(
-                (r["src"], r["dst"])
-                for r in sym.where(F.col("src") < F.col("dst")).collect()
+                (r["a"], r["b"])
+                for r in edges.where(F.col("a") != F.col("b")).collect()
             )
         finally:
-            sym.unpersist()
+            edges.unpersist()
         id_type = edges.schema["a"].dataType
         spark = pairs.sparkSession
         from pyspark.sql.types import StructField, StructType
@@ -496,6 +493,9 @@ def duplicate_clusters(
                 ]
             ),
         )
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).toDF("src", "dst")
     try:
         labels = (
             sym.select(F.col("src").alias("v"))
@@ -525,7 +525,7 @@ def duplicate_clusters(
             if changed == 0:
                 break
     finally:
-        sym.unpersist()
+        edges.unpersist()
     if changed != 0:
         # a component with diameter > max_iter would otherwise be SILENTLY
         # split into several clusters (ADVICE r2) — that is a wrong answer,

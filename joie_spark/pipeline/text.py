@@ -25,6 +25,22 @@ def sql_tokens(col: str = "text") -> Column:
     return F.expr(f"regexp_extract_all(lower({col}), '{TOKEN_PATTERN}', 0)")
 
 
+def bind_col(df: DataFrame, name: str, col: Column) -> DataFrame:
+    """Materialize an expensive expression as a real once-per-row column
+    behind a single-element Generate barrier.
+
+    Catalyst's filter pushdown inlines deterministic Project expressions
+    into every predicate that references them, so a filter over e.g. a
+    duplicate-2-gram ratio re-evaluates the tokenizer + gram chain once
+    PER REFERENCE (measured ~10 regexp_extract_all calls per row in the
+    cleaning gate's pushed-down filter).  `explode(array(col))` is a
+    1:1 Generate whose output column predicates cannot be pushed below
+    (and InferFiltersFromGenerate is excluded session-wide), so the
+    expression runs exactly once per row.  Row set is unchanged:
+    array(col) always has exactly one element, even when col is NULL."""
+    return df.select("*", F.explode(F.array(col)).alias(name))
+
+
 def with_tokens(docs: DataFrame) -> DataFrame:
     return docs.withColumn("tokens", sql_tokens())
 
