@@ -69,6 +69,7 @@ from ..sources.tables import (
     table_path,
     write_stats,
 )
+from ..functions.codec import TURN_BITS
 from .build import (
     assign_dense_ids,
     blocks_of,
@@ -77,7 +78,6 @@ from .build import (
     release_dense_ids,
     term_stats_of,
     tokenized_turns,
-    validate_turn_idx,
 )
 
 
@@ -211,8 +211,10 @@ def append_index(
     begun = [e for e in man.entries if e["stage"] == "append_begin"]
     done = {e["unit"] for e in man.entries if e["stage"] == "append"}
     pending = [e for e in begun if e["unit"] not in done]
+    base_doc: int | None = None
     if pending:
         gen = int(pending[-1]["unit"].removeprefix("gen="))
+        base_doc = pending[-1].get("base_doc")  # absent on old manifests
         fp = _input_fingerprint(src)
         if fp != pending[-1].get("input_fp"):
             raise ValueError(
@@ -236,7 +238,27 @@ def append_index(
                 "completion first"
             )
         gen = 1 + max(_all_known_gens(man, stats, index_dir, fmt))
-        validate_turn_idx(src)
+        # ONE agg pass over the delta does double duty (guide §1 — these
+        # were two separate fixed-latency jobs): the turn_idx packability
+        # invariant (validate_turn_idx's check) and the input fingerprint
+        # recorded at begin
+        agg = src.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("conv_id").alias("c"),
+            F.sum(
+                F.xxhash64("conv_id", "turn_idx").cast("decimal(38,0)")
+            ).alias("h"),
+            F.min("turn_idx").alias("lo"),
+            F.max("turn_idx").alias("hi"),
+        ).collect()[0]
+        if agg["lo"] is not None and (
+            agg["lo"] < 0 or agg["hi"] >= (1 << TURN_BITS)
+        ):
+            raise ValueError(
+                f"turn_idx out of packable range [0, {1 << TURN_BITS}): "
+                f"min={agg['lo']} max={agg['hi']}"
+            )
+        fp = f"{agg['n']}:{agg['c']}:{agg['h']}"
         # disjointness contract (same as the shard merge): appended
         # conv_ids must be new — or tombstoned (delete + append of the
         # same conv_id = an exact UPDATE, operators/delete.py)
@@ -248,30 +270,23 @@ def append_index(
             live_convs = live_convs.join(
                 tomb.select("doc_id"), "doc_id", "left_anti"
             )
-        clash = (
-            src.select("conv_id")
-            .distinct()
-            .join(live_convs.select("conv_id"), "conv_id", "left_semi")
-            .count()
+        # the disjointness count and the live doc-id high-water mark (the
+        # delta's id base) share one job: left-join the live convs
+        # against the delta's conv set and aggregate both at once
+        src_convs = (
+            src.select("conv_id").distinct().withColumn("_m", F.lit(1))
         )
-        if clash:
+        lc = (
+            live_convs.join(src_convs, "conv_id", "left")
+            .agg(F.max("doc_id").alias("mx"), F.count("_m").alias("clash"))
+            .collect()[0]
+        )
+        if lc["clash"]:
             raise ValueError(
-                f"append input shares {clash} LIVE conv_id(s) with the "
-                "index; appends must be disjoint (delete the conv first "
-                "to update it)"
+                f"append input shares {int(lc['clash'])} LIVE conv_id(s) "
+                "with the index; appends must be disjoint (delete the "
+                "conv first to update it)"
             )
-        base_n = int(stats["N"])
-        base_total_dl = int(stats["total_dl"])
-        man.commit(
-            "append_begin", f"gen={gen}", input_fp=_input_fingerprint(src),
-            base_N=base_n, base_total_dl=base_total_dl, key=idempotency_key,
-        )
-
-    unit = f"gen={gen}"
-
-    # ---- delta turns -----------------------------------------------------
-    if not man.is_done("append_turns", unit):
-        t0 = time.time()
         # next free doc id = the HIGH-WATER mark, not max(doc_meta):
         # compaction physically purges tombstoned docs from doc_meta, so
         # its max can shrink below ids already retired to the tombstone
@@ -279,19 +294,55 @@ def append_index(
         # new live doc and a later delete of it silently skip its rows.
         # stats.n_docs never decreases (dense ids are retired, not
         # reassigned).
-        base_doc = (
-            _live_rows(fmt.read(spark, index_dir, "doc_meta"), stats)
-            .agg(F.max("doc_id"))
-            .collect()[0][0]
+        base_doc = max(int(lc["mx"] or 0), int(stats.get("n_docs", 0)) - 1)
+        base_n = int(stats["N"])
+        base_total_dl = int(stats["total_dl"])
+        man.commit(
+            "append_begin", f"gen={gen}", input_fp=fp,
+            base_N=base_n, base_total_dl=base_total_dl,
+            base_doc=base_doc, key=idempotency_key,
         )
-        base_doc = max(int(base_doc or 0), int(stats.get("n_docs", 0)) - 1)
+
+    unit = f"gen={gen}"
+
+    # ---- delta turns -----------------------------------------------------
+    if not man.is_done("append_turns", unit):
+        from pyspark.sql import Observation
+
+        t0 = time.time()
+        if base_doc is None:
+            # resumed under a pre-round-6 begin entry (no base_doc
+            # recorded): re-derive the live doc-id high-water mark
+            base_doc = (
+                _live_rows(fmt.read(spark, index_dir, "doc_meta"), stats)
+                .agg(F.max("doc_id"))
+                .collect()[0][0]
+            )
+            base_doc = max(int(base_doc or 0), int(stats.get("n_docs", 0)) - 1)
         doc_map = assign_dense_ids(src, "conv_id", "doc_id", start=base_doc + 1)
         turns = tokenized_turns(spark, src, doc_map).withColumn(
             "gen", F.lit(gen)
         ).sortWithinPartitions("doc_id", "turn_idx")
-        fmt.write(turns, index_dir, "turns", partition_by=["gen"], subunit=unit)
+        # delta row count / dl sum / conv count observed inside the
+        # write and recorded on the commit entry: the final stats
+        # section reads them back instead of re-aggregating the delta
+        # (three fewer fixed-latency jobs per append)
+        obs = Observation()
+        fmt.write(
+            turns.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum("dl").alias("dl"),
+            ),
+            index_dir, "turns", partition_by=["gen"], subunit=unit,
+        )
         release_dense_ids(doc_map)
-        man.commit("append_turns", unit, seconds=round(time.time() - t0, 3))
+        man.commit(
+            "append_turns", unit, seconds=round(time.time() - t0, 3),
+            n=int(obs.get["n"]), dl=int(obs.get["dl"] or 0),
+            n_convs=int(getattr(doc_map, "_joie_total", 0) or 0),
+            base_doc=int(base_doc),
+        )
 
     delta_turns = fmt.read(spark, index_dir, "turns").where(F.col("gen") == gen)
 
@@ -348,7 +399,20 @@ def append_index(
             subunit=unit,
         )
         release_dense_ids(ids)
-        man.commit("append_term_dict", unit, seconds=round(time.time() - t0, 3))
+        # new-term count rides the commit: the stats section derives the
+        # post-append vocabulary size from it (term ids are dense, so
+        # n_terms_after = n_terms + |new terms|) instead of re-scanning
+        # the dictionary for max(term_id)
+        ids_total = getattr(ids, "_joie_total", None)
+        extra = (
+            {"n_terms_after": int(stats["n_terms"]) + int(ids_total)}
+            if ids_total is not None
+            else {}
+        )
+        man.commit(
+            "append_term_dict", unit,
+            seconds=round(time.time() - t0, 3), **extra,
+        )
 
     # the delta partition alone covers every term of the delta turns (by
     # construction above), which is all postings_of needs (term→id map)
@@ -371,10 +435,26 @@ def append_index(
 
     # ---- new global stats (needed for the delta blocks' enc_avgdl).
     # Computed from the begin-time BASE values, not the current stats.json
-    # — identical on first run and on any resume (idempotent).
-    d = delta_turns.agg(
-        F.count("*").alias("n"), F.sum("dl").alias("dl")
-    ).collect()[0]
+    # — identical on first run and on any resume (idempotent).  The delta
+    # row/dl totals were observed inside the turns write (commit entry);
+    # re-aggregate only when resuming over a pre-round-6 manifest.
+    tentry = next(
+        (
+            e
+            for e in man.entries
+            if e["stage"] == "append_turns"
+            and e["unit"] == unit
+            and "n" in e
+            and "dl" in e
+        ),
+        None,
+    )
+    if tentry is not None:
+        d = {"n": int(tentry["n"]), "dl": int(tentry["dl"])}
+    else:
+        d = delta_turns.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("dl")
+        ).collect()[0]
     new_n = base_n + int(d["n"])
     new_total_dl = base_total_dl + int(d["dl"])
     new_avgdl = new_total_dl / new_n
@@ -406,25 +486,43 @@ def append_index(
     from ..sources.tables import dict_gens_of
 
     dict_gens = sorted(set(dict_gens_of(stats)) | {gen})
-    n_terms = int(
-        fmt.read(spark, index_dir, "term_dict")
-        .where(F.col("gen").isin(dict_gens))
-        .agg(F.max("term_id"))
-        .collect()[0][0]
+    dentry = next(
+        (
+            e
+            for e in man.entries
+            if e["stage"] == "append_term_dict"
+            and e["unit"] == unit
+            and "n_terms_after" in e
+        ),
+        None,
     )
-    # re-derived from doc_meta (already holds the committed delta rows)
-    # rather than carried through locals, so a resumed append that skipped
-    # the turns stage still lands the right doc-slot count
-    # live gens PLUS this append's own (not yet in stats.gens — that
-    # commit is below); pruning away crashed-compact leftovers only
-    max_doc = (
-        _live_rows(
-            fmt.read(spark, index_dir, "doc_meta"),
-            {"gens": list(stats.get("gens", [0])) + [gen]},
+    if dentry is not None:
+        n_terms = int(dentry["n_terms_after"])
+    else:
+        n_terms = int(
+            fmt.read(spark, index_dir, "term_dict")
+            .where(F.col("gen").isin(dict_gens))
+            .agg(F.max("term_id"))
+            .collect()[0][0]
         )
-        .agg(F.max("doc_id"))
-        .collect()[0][0]
-    )
+    # doc-slot high-water mark: the turns commit carries the delta's id
+    # base and conv count, so max_doc = base_doc + n_convs (dense ids,
+    # delta gets base_doc+1..base_doc+n_convs; n_convs=0 degenerates to
+    # the live max) — identical to the old doc_meta re-scan, one job
+    # cheaper.  Fallback: a resume over a pre-round-6 manifest re-derives
+    # from doc_meta pruned to live gens PLUS this append's own (not yet
+    # in stats.gens — that commit is below).
+    if tentry is not None and "base_doc" in tentry and "n_convs" in tentry:
+        max_doc = int(tentry["base_doc"]) + int(tentry["n_convs"])
+    else:
+        max_doc = (
+            _live_rows(
+                fmt.read(spark, index_dir, "doc_meta"),
+                {"gens": list(stats.get("gens", [0])) + [gen]},
+            )
+            .agg(F.max("doc_id"))
+            .collect()[0][0]
+        )
     stats.update(
         {
             "N": new_n,

@@ -109,16 +109,31 @@ def tokenize_udf(texts: pd.Series) -> pd.DataFrame:
     )
 
 
+DENSE_IDS_DRIVER_MAX = 1_000_000  # distinct keys; ~50 MB of driver state
+
+
 def assign_dense_ids(df: DataFrame, col: str, out: str, start: int = 1) -> DataFrame:
     """Deterministic dense ids over the sorted distinct values of `col`.
 
-    Pure-JVM zipWithIndex: range-repartition gives globally ordered
-    partitions; pass 1 collects per-partition counts (P tiny rows), pass 2
-    adds `row_number within partition + cumulative offset`.  No
-    single-partition window (each partition ranks independently), no
-    Python serialization, and ids depend only on the data's total order —
-    identical at local[8] and local[32] (the scalable analogue of joie's
-    insertion-order interning, term_map.rs:69-73, made deterministic).
+    Small key sets (≤ DENSE_IDS_DRIVER_MAX distinct values — every term
+    dictionary and most conv-id batches at bench scales) take a driver
+    fast path: one distinct+limit collect, a Python sort, and a local
+    relation back — ONE Spark job instead of the four fixed-latency jobs
+    of the distributed path (range-partition sampling, persist, count,
+    window), and the resulting id map is a local relation the downstream
+    dictionary join auto-broadcasts.  Ids are identical by construction
+    (rank over the same total order).  This is the same bounded-driver
+    contract as dedup.duplicate_clusters' union-find path: a map every
+    consumer broadcasts is small enough to collect.
+
+    Above the threshold, pure-JVM zipWithIndex: range-repartition gives
+    globally ordered partitions; pass 1 collects per-partition counts (P
+    tiny rows), pass 2 adds `row_number within partition + cumulative
+    offset`.  No single-partition window (each partition ranks
+    independently), no Python serialization, and ids depend only on the
+    data's total order — identical at local[8] and local[32] (the
+    scalable analogue of joie's insertion-order interning,
+    term_map.rs:69-73, made deterministic).
 
     The persist is load-bearing (partition ids must agree between the two
     passes); it is exposed as `._joie_persisted` on the result so callers
@@ -126,6 +141,26 @@ def assign_dense_ids(df: DataFrame, col: str, out: str, start: int = 1) -> DataF
     """
     from pyspark.sql.window import Window
 
+    id_type = df.schema[col].dataType
+    head = (
+        df.select(col).distinct().limit(DENSE_IDS_DRIVER_MAX + 1).collect()
+    )
+    if len(head) <= DENSE_IDS_DRIVER_MAX:
+        vals = sorted(r[col] for r in head)
+        spark = df.sparkSession
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [
+                StructField(col, id_type, False),
+                StructField(out, T.LongType(), False),
+            ]
+        )
+        ranked = spark.createDataFrame(
+            [(v, start + i) for i, v in enumerate(vals)], schema
+        )
+        ranked._joie_total = len(vals)
+        return ranked
     base = (
         df.select(col)
         .distinct()
@@ -362,7 +397,8 @@ def build_index(
     docs_per_block: int = 64,
     block_chunks: int = 4,
     fail_after_block_chunk: int | None = None,  # test hook for kill/resume
-    collect_metrics: bool = True,  # False skips per-stage count() jobs
+    collect_metrics: bool = True,  # kept for API compat; row counts now
+    # ride the write jobs via Observation (no separate count() jobs)
 ) -> Manifest:
     """Build (or resume building) an index at index_dir.
 
@@ -395,16 +431,24 @@ def build_index(
 
     # ---- stage 1: turns ------------------------------------------------
     if not man.is_done("turns"):
+        from pyspark.sql import Observation
+
         t0 = time.time()
         validate_turn_idx(src)
         doc_map = assign_dense_ids(src, "conv_id", "doc_id")
         turns = tokenized_turns(spark, src, doc_map).withColumn(
             "gen", F.lit(0)
         ).sortWithinPartitions("doc_id", "turn_idx")
-        fmt.write(turns, index_dir, "turns", partition_by=["gen"], subunit="gen=0")
+        # row count observed inside the write job (guide §1: metric
+        # counts were separate re-read jobs; observe() rides the write)
+        obs = Observation()
+        fmt.write(
+            turns.observe(obs, F.count(F.lit(1)).alias("rows")),
+            index_dir, "turns", partition_by=["gen"], subunit="gen=0",
+        )
         release_dense_ids(doc_map)
         dt = time.time() - t0
-        n = fmt.read(spark, index_dir, "turns").count() if collect_metrics else -1
+        n = int(obs.get["rows"])
         man.commit(
             "turns", rows=n, seconds=round(dt, 3),
             turns_per_sec=round(n / dt, 1) if n > 0 else None,
@@ -485,14 +529,18 @@ def build_from_turns(
 
     # ---- stage 2: term_dict --------------------------------------------
     if not man.is_done("term_dict"):
+        from pyspark.sql import Observation
+
         t0 = time.time()
         stats_per_term = term_stats_of(turns)
         ids = assign_dense_ids(stats_per_term, "term", "term_id")
+        obs = Observation()
         fmt.write(
             stats_per_term.join(ids, "term")
             .select("term", "term_id", "df", "cf", F.lit(0).alias("gen"))
             .repartitionByRange(F.col("term_id"))
-            .sortWithinPartitions("term_id"),
+            .sortWithinPartitions("term_id")
+            .observe(obs, F.count(F.lit(1)).alias("rows")),
             index_dir,
             "term_dict",
             partition_by=["gen"],
@@ -500,7 +548,7 @@ def build_from_turns(
         )
         release_dense_ids(ids)
         dt = time.time() - t0
-        n = fmt.read(spark, index_dir, "term_dict").count() if collect_metrics else -1
+        n = int(obs.get["rows"])
         man.commit(
             "term_dict", rows=n, seconds=round(dt, 3),
             bytes=dir_bytes(dict_path) if fmt.name == "parquet" else None,
@@ -515,7 +563,22 @@ def build_from_turns(
             F.sum("dl").alias("total_dl"),
             F.max("doc_id").alias("max_doc"),
         ).collect()[0]
-        n_terms = fmt.read(spark, index_dir, "term_dict").count()
+        # the term_dict commit already recorded its exact row count —
+        # reuse it instead of re-scanning the table (one fewer job);
+        # builds with collect_metrics=False committed rows=-1 and fall
+        # back to the count
+        n_terms = next(
+            (
+                e["rows"]
+                for e in man.entries
+                if e["stage"] == "term_dict"
+                and e["status"] == "done"
+                and e.get("rows", -1) >= 0
+            ),
+            None,
+        )
+        if n_terms is None:
+            n_terms = fmt.read(spark, index_dir, "term_dict").count()
         write_stats(
             index_dir,
             {
@@ -560,23 +623,27 @@ def build_from_turns(
 
     # ---- stage 4: postings ----------------------------------------------
     if not man.is_done("postings"):
+        from pyspark.sql import Observation
+
         t0 = time.time()
         term_dict = fmt.read(spark, index_dir, "term_dict")
         postings = postings_of(turns, term_dict, n_buckets)
+        obs = Observation()
         fmt.write(
             postings.withColumn("gen", F.lit(0))
             .repartition(F.col("bucket"))
             # leading with the (post-subunit) partition column lets
             # FileFormatWriter keep this ordering (otherwise it re-sorts by
             # bucket alone and the (term_id, doc, turn) file order is lost)
-            .sortWithinPartitions("bucket", "term_id", "doc_id", "turn_idx"),
+            .sortWithinPartitions("bucket", "term_id", "doc_id", "turn_idx")
+            .observe(obs, F.count(F.lit(1)).alias("rows")),
             index_dir,
             "postings",
             partition_by=["gen", "bucket"],
             subunit="gen=0",
         )
         dt = time.time() - t0
-        n = fmt.read(spark, index_dir, "postings").count() if collect_metrics else -1
+        n = int(obs.get["rows"])
         man.commit(
             "postings", rows=n, seconds=round(dt, 3),
             postings_per_sec=round(n / dt, 1) if n > 0 else None,
@@ -601,26 +668,30 @@ def build_from_turns(
             continue
         if fail_after_block_chunk is not None and chunk >= fail_after_block_chunk:
             raise RuntimeError(f"injected failure before blocks {unit}")
+        from pyspark.sql import Observation
+
         t0 = time.time()
         part = postings.where(F.pmod(F.col("bucket"), F.lit(block_chunks)) == chunk)
         grouped = blocks_of(part, avgdl, docs_per_block)
+        obs = Observation()
         loc = fmt.write(
             grouped.withColumn("gen", F.lit(0))
             .withColumn("chunk", F.lit(chunk))
             .repartition(F.col("bucket"))
-            .sortWithinPartitions("bucket", "term_id", "block_id"),
+            .sortWithinPartitions("bucket", "term_id", "block_id")
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.avg("n").alias("fan_in"),
+            ),
             index_dir,
             "blocks",
             partition_by=["gen", "chunk", "bucket"],
             subunit=f"gen=0/chunk={chunk}",
         )
         dt = time.time() - t0
-        if collect_metrics:
-            bdf = fmt.read(spark, index_dir, "blocks").where(F.col("chunk") == chunk)
-            n_blocks = bdf.count()
-            fan_in = bdf.agg(F.avg("n")).collect()[0][0]
-        else:
-            n_blocks, fan_in = -1, None
+        n_blocks = int(obs.get["rows"])
+        fan_in = obs.get["fan_in"]
         man.commit(
             "blocks", unit, rows=n_blocks, seconds=round(dt, 3),
             avg_postings_per_block=round(fan_in or 0.0, 2),

@@ -103,8 +103,17 @@ def bucket_log_ratio(
     always broadcastable."""
     t = bucket_counts(target, n_buckets, ns, portable=portable)
     r = bucket_counts(raw, n_buckets, ns, portable=portable)
+    return _log_ratio_from_counts(t, r, raw.sparkSession, n_buckets)
+
+
+def _log_ratio_from_counts(
+    t: DataFrame, r: DataFrame, spark, n_buckets: int
+) -> DataFrame:
+    """bucket_log_ratio's tail over precomputed (bucket, c) count tables
+    — lets importance_weights derive the raw-side counts from its own
+    persisted gram pass instead of re-tokenizing the pool."""
     full = (
-        raw.sparkSession.range(n_buckets)
+        spark.range(n_buckets)
         .select(F.col("id").alias("bucket"))
         .join(t.withColumnRenamed("c", "ct"), "bucket", "left")
         .join(r.withColumnRenamed("c", "cr"), "bucket", "left")
@@ -144,10 +153,26 @@ def importance_weights(
     `avg_log_w` (= log_w / n_grams, 0.0 for gram-less docs) is the
     length-debiased variant selection uses.  Rounded to 4 decimals for
     oracle portability (see module docstring)."""
-    ratio = bucket_log_ratio(target, docs, n_buckets, ns, portable=portable)
-    per_doc = (
+    # The pool's hashed gram pass runs ONCE: (doc_id, bucket) is
+    # persisted and feeds both the raw-side model counts and the per-doc
+    # weight aggregation — unpersisted, the tokenize+gram+hash scan of
+    # the pool ran twice (model + scoring).  Release handle:
+    # result._joie_persisted (at 100 TB the same structure writes the
+    # bucketed gram table once).
+    from pyspark.storagelevel import StorageLevel
+
+    pool_buckets = (
         _grams(docs, ns)
         .select("doc_id", bucket_of(F.col("g"), n_buckets, portable=portable))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    t = bucket_counts(target, n_buckets, ns, portable=portable)
+    r = pool_buckets.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    ratio = _log_ratio_from_counts(t, r, docs.sparkSession, n_buckets)
+    per_doc = (
+        pool_buckets
         .join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")
         .agg(
@@ -155,7 +180,7 @@ def importance_weights(
             F.sum("log_ratio").alias("_lw"),
         )
     )
-    return (
+    out = (
         docs.select("doc_id")
         .join(per_doc, "doc_id", "left")
         .select(
@@ -171,6 +196,8 @@ def importance_weights(
             ).alias("avg_log_w"),
         )
     )
+    out._joie_persisted = pool_buckets  # release handle
+    return out
 
 
 def dsir_select(
@@ -188,9 +215,11 @@ def dsir_select(
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     w = importance_weights(docs, target, n_buckets, ns, portable=portable)
-    return (
+    out = (
         docs.join(w, "doc_id")
         .orderBy(F.col("avg_log_w").desc(), F.col("doc_id"))
         .limit(k)
         .select("doc_id", "source", "n_grams", "log_w", "avg_log_w")
     )
+    out._joie_persisted = w._joie_persisted  # shared pool gram cache
+    return out

@@ -83,12 +83,23 @@ def tfidf_topk(docs: DataFrame, k: int = 3, min_df: int = 1) -> DataFrame:
     shuffles on term where the df side carries one row per term (AQE
     splits any skewed probe partitions); the final top-k window
     partitions by doc_id, bounded by one document's distinct-term
-    count.  N (total docs) is a 1-row broadcast scalar."""
+    count.  N (total docs) is a 1-row broadcast scalar.
+
+    tf is persisted MEMORY_AND_DISK: it feeds both the probe side and
+    the df aggregate, and Spark's exchange reuse does not fire across
+    the broadcast boundary (verified on the executed plan), so an
+    unpersisted tf re-runs the tokenize+explode+aggregate pass once per
+    consumer.  Release handle: result._joie_persisted (the shared
+    convention).  At 100 TB the same structure writes tf to storage
+    once."""
+    from pyspark.storagelevel import StorageLevel
+
     d = with_tokens(docs)
     tf = (
         d.select("doc_id", F.explode("tokens").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df_t = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     if min_df > 1:
@@ -108,8 +119,10 @@ def tfidf_topk(docs: DataFrame, k: int = 3, min_df: int = 1) -> DataFrame:
         ),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "tf", "df", "score")
     )
+    out._joie_persisted = tf  # release handle (freed on GC otherwise)
+    return out
