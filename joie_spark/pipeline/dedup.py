@@ -23,7 +23,7 @@ Everything is expression-level (codegen); xxhash64 is Spark's built-in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import sql_tokens
@@ -590,19 +590,29 @@ def repeated_substring_spans(docs: DataFrame, w: int = 50) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # keeper = lexicographic min (doc_id, pos), packed into one exact
+    # DECIMAL so the duplicate-hash aggregate stays a HashAggregate —
+    # min over a STRUCT falls back to SortAggregate, which sorts the
+    # full window table twice (partial + final) per run (measured in
+    # the sf1.0 plan).  pos is a token index (int32 < 10^10), so
+    # doc_id·10^10 + pos is injective and ordered like (doc_id, pos);
+    # decimal(19,0)·10^10 + 10 digits stays exact well inside 38 digits.
+    def _packed() -> Column:
+        return (
+            F.col("doc_id").cast("decimal(19,0)")
+            * F.lit(10_000_000_000).cast("decimal(11,0)")
+            + F.col("pos").cast("decimal(10,0)")
+        )
+
     dup = (
         win.groupBy("h")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.min(F.struct("doc_id", "pos")).alias("keeper"),
-        )
+        .agg(F.count("*").alias("cnt"), F.min(_packed()).alias("kp"))
         .where(F.col("cnt") > 1)
-        .select("h", "keeper")
+        .select("h", "kp")
     )
-    rem = win.join(dup, "h").where(
-        (F.col("doc_id") != F.col("keeper.doc_id"))
-        | (F.col("pos") != F.col("keeper.pos"))
-    ).select("doc_id", "pos")
+    rem = win.join(dup, "h").where(_packed() != F.col("kp")).select(
+        "doc_id", "pos"
+    )
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + w).over(
         wdoc.rowsBetween(Window.unboundedPreceding, -1)

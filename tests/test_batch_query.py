@@ -230,3 +230,27 @@ def test_auto_where_filtered_single_uses_blocks(t1_engine):
 def test_wand_mode_rejects_turn_filter(t1_engine):
     with pytest.raises(ValueError, match="turn filter"):
         t1_engine.search("roll OR dice", mode="wand", where="role = 'user'")
+
+
+def test_search_many_job_count_bounded(t1_engine):
+    """Throughput regression gate (VERDICT r5 item 2), host-noise-robust
+    form: the batch path's Spark JOB count is deterministic where
+    wall-clock on this host is not (documented 1-5x contention spikes),
+    and every past batch regression (per-query driver loops, extra
+    barriers) would show up as extra jobs.  Measured today: auto=7,
+    forced-pruned=27 for an 18-query batch; bounds leave headroom for
+    planner drift but fail on anything per-query."""
+    batch = BATCH * 3  # 18 queries — job count must not scale with batch
+    sc = t1_engine.spark.sparkContext
+    t1_engine.search_many(BATCH[:2], k=10).collect()  # warm term lookups
+    sc.setJobGroup("gate-auto", "job-count gate")
+    t1_engine.search_many(batch, k=10).collect()
+    n_auto = len(sc.statusTracker().getJobIdsForGroup("gate-auto"))
+    sc.setJobGroup("gate-pruned", "job-count gate")
+    t1_engine.search_many(
+        batch, k=10, direct_threshold=0, probe_blocks=4
+    ).collect()
+    n_pruned = len(sc.statusTracker().getJobIdsForGroup("gate-pruned"))
+    sc.setJobGroup(None, None)
+    assert n_auto <= 10, f"auto batch path ran {n_auto} jobs (was 7)"
+    assert n_pruned <= 34, f"pruned batch path ran {n_pruned} jobs (was 27)"
