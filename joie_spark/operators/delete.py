@@ -155,7 +155,13 @@ def delete_convs(
         if tomb is not None:
             live = live.join(tomb.select("doc_id"), "doc_id", "left_anti")
         matched = live.join(convs, "conv_id", "left_semi")
-        n_req = convs.count()
+        # one agg over the target set yields both the request count and
+        # the begin fingerprint (they were two separate jobs)
+        agg0 = convs.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("conv_id").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        n_req = int(agg0["n"])
         n_hit = matched.select("conv_id").distinct().count()
         if n_hit != n_req:
             raise ValueError(
@@ -166,7 +172,8 @@ def delete_convs(
         base_total_dl = int(stats["total_dl"])
         base_unpurged = int(stats.get("tombstones_unpurged", 0))
         man.commit(
-            "delete_begin", f"gen={gen}", input_fp=_convs_fingerprint(convs),
+            "delete_begin", f"gen={gen}",
+            input_fp=f"{agg0['n']}:{agg0['h']}",
             base_N=base_n, base_total_dl=base_total_dl,
             base_unpurged=base_unpurged,
         )
@@ -184,14 +191,20 @@ def delete_convs(
             # re-appended (update) and is deleted again must not
             # re-tombstone its old doc_ids
             targets = targets.join(prior.select("doc_id"), "doc_id", "left_anti")
+        from pyspark.sql import Observation
+
+        obs = Observation()
         fmt.write(
-            targets.withColumn("gen", F.lit(gen)).coalesce(1),
+            targets.withColumn("gen", F.lit(gen)).coalesce(1)
+            .observe(obs, F.count(F.lit(1)).alias("n")),
             index_dir,
             "tombstones",
             partition_by=["gen"],
             subunit=unit,
         )
-        man.commit("delete_tombstones", unit)
+        # tombstones are one row per doc, so this IS the deleted-doc
+        # count the stats section needs (saves its countDistinct job)
+        man.commit("delete_tombstones", unit, n_docs=int(obs.get["n"]))
     # the committed gen slice IS the target set (stable across resumes)
     targets = (
         fmt.read(spark, index_dir, "tombstones")
@@ -215,10 +228,18 @@ def delete_convs(
     # the deleted turns exists in the live dict by construction
     # (deterministic tokenization), so an inner join is exact.
     if not man.is_done("delete_term_dict", unit):
+        from pyspark.sql import Observation
+
         t0 = time.time()
         old = _live_dict(spark, fmt, index_dir, stats)
+        # the deleted turn/dl totals ride this write (the only pass that
+        # scans the deleted turns) instead of a separate agg job
+        obs = Observation()
+        deleted_obs = deleted_turns.observe(
+            obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl")
+        )
         d = (
-            term_stats_of(deleted_turns)
+            term_stats_of(deleted_obs)
             .withColumnRenamed("df", "d_df")
             .withColumnRenamed("cf", "d_cf")
         )
@@ -237,13 +258,43 @@ def delete_convs(
             partition_by=["gen"],
             subunit=unit,
         )
-        man.commit("delete_term_dict", unit, seconds=round(time.time() - t0, 3))
+        man.commit(
+            "delete_term_dict", unit, seconds=round(time.time() - t0, 3),
+            n=int(obs.get["n"]), dl=int(obs.get["dl"] or 0),
+        )
 
-    # ---- stats (from begin-time bases — idempotent on resume) ----
-    d = deleted_turns.agg(
-        F.count("*").alias("n"), F.sum("dl").alias("dl"),
-        F.countDistinct("doc_id").alias("docs"),
-    ).collect()[0]
+    # ---- stats (from begin-time bases — idempotent on resume).  The
+    # deleted turn/dl/doc totals come from the stage commits above; a
+    # resume over a pre-round-6 manifest re-aggregates as before. ----
+    tent = next(
+        (
+            e
+            for e in man.entries
+            if e["stage"] == "delete_term_dict" and e["unit"] == unit
+            and "n" in e and "dl" in e
+        ),
+        None,
+    )
+    dent = next(
+        (
+            e
+            for e in man.entries
+            if e["stage"] == "delete_tombstones" and e["unit"] == unit
+            and "n_docs" in e
+        ),
+        None,
+    )
+    if tent is not None and dent is not None:
+        d = {
+            "n": int(tent["n"]),
+            "dl": int(tent["dl"]),
+            "docs": int(dent["n_docs"]),
+        }
+    else:
+        d = deleted_turns.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("dl"),
+            F.countDistinct("doc_id").alias("docs"),
+        ).collect()[0]
     new_n = base_n - int(d["n"])
     if new_n <= 0:
         raise ValueError("delete_convs would empty the index; rebuild instead")

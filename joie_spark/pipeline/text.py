@@ -175,38 +175,40 @@ def top_ngram_share(docs: DataFrame, n: int = 2) -> DataFrame:
     fraction says "many grams repeat", the top share says "ONE gram
     dominates" (a chorus, a nav bar, a spam token).
 
-    Needs a per-doc mode aggregation, so unlike `repetition_stats` it is
-    not map-side: explode grams -> groupBy(doc_id, gram) -> groupBy
-    (doc_id).  Both shuffles key on doc_id(+gram) — no hot keys beyond
-    document size, partial aggregation does the heavy lifting map-side,
-    and the final join back to the doc list reuses the doc_id
-    partitioning.  Docs with fewer than n tokens emit share 0.0 rather
-    than vanishing.  Share is count-based (top_count / n_grams): ties in
-    the top count do not affect it, so the value is deterministic
-    without a gram-name tiebreak."""
-    grams = with_tokens(docs).select(
-        "doc_id", F.explode(ngram_array(n)).alias("gram")
+    The mode is a PER-DOCUMENT statistic, so it needs no shuffle at all
+    (round 6; previously explode -> groupBy(doc_id, gram) -> groupBy
+    (doc_id) -> join back, i.e. two corpus-sized exchanges): sort the
+    doc's own gram array and take the longest equal run with one
+    codegen `aggregate` fold — top_count and n_grams are then plain
+    scan-stage expressions, the same zero-shuffle shape as
+    `repetition_stats`.  Docs with fewer than n tokens emit share 0.0
+    rather than vanishing.  Share is count-based (top_count / n_grams):
+    ties in the top count do not affect it, so the value is
+    deterministic without a gram-name tiebreak."""
+    d = with_tokens(docs).withColumn("_g", ngram_array(n))
+    top = F.expr(
+        "aggregate(array_sort(_g),"
+        " named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', CASE WHEN x <=> acc.prev THEN acc.run + 1L ELSE 1L END,"
+        "   'best', greatest(acc.best,"
+        "     CASE WHEN x <=> acc.prev THEN acc.run + 1L ELSE 1L END)),"
+        " acc -> acc.best)"
     )
-    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
-    per_doc = per_gram.groupBy("doc_id").agg(
-        F.sum("c").cast("long").alias("n_grams"),
-        F.max("c").cast("long").alias("top_count"),
-    )
-    return (
-        docs.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
-            F.coalesce("top_count", F.lit(0)).cast("long").alias("top_count"),
-            F.round(
-                F.when(
-                    F.col("n_grams") > 0,
-                    F.col("top_count").cast("double") / F.col("n_grams"),
-                ).otherwise(F.lit(0.0)),
-                4,
-            ).alias("top_share"),
-        )
+    n_grams = F.size("_g").cast("long")
+    d = d.withColumn("_ng", n_grams).withColumn("_top", top)
+    return d.select(
+        "doc_id",
+        F.col("_ng").alias("n_grams"),
+        F.col("_top").alias("top_count"),
+        F.round(
+            F.when(
+                F.col("_ng") > 0,
+                F.col("_top").cast("double") / F.col("_ng"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("top_share"),
     )
 
 
