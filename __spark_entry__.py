@@ -481,7 +481,14 @@ def q_bm25_topk(spark, sf_dir):
     The tokenized docs are cached: three branches (tok/dl/tf) hang off the
     same withColumn and would re-run the regex tokenizer per branch
     otherwise (VERDICT r1)."""
-    docs = _docs(spark, sf_dir).withColumn("tokens", text.sql_tokens()).cache()
+    # cache holds only the two columns every branch needs — the full-row
+    # cache also materialized text/lang/source/n_chars per row (guide
+    # §2.3: narrower cached/shuffled rows)
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", text.sql_tokens().alias("tokens"))
+        .cache()
+    )
     tok = docs.select("doc_id", F.explode("tokens").alias("term"))
     dl = docs.select("doc_id", F.size("tokens").cast("long").alias("dl"))
     st = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
@@ -602,7 +609,14 @@ def q_collapse_topk(spark, sf_dir):
     Spark and DuckDB order bit-identically."""
     from pyspark.sql.window import Window
 
-    docs = _docs(spark, sf_dir).withColumn("tokens", text.sql_tokens()).cache()
+    # cache holds only the two columns every branch needs — the full-row
+    # cache also materialized text/lang/source/n_chars per row (guide
+    # §2.3: narrower cached/shuffled rows)
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", text.sql_tokens().alias("tokens"))
+        .cache()
+    )
     tok = docs.select("doc_id", F.explode("tokens").alias("term"))
     dl = docs.select("doc_id", F.size("tokens").cast("long").alias("dl"))
     st = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
@@ -644,7 +658,14 @@ def q_search_after_page2(spark, sf_dir):
     as OFFSET 10).  No-gap/no-overlap tiling and the engine-side cursor
     semantics are pinned in tests/test_collapse.py; ranking here is on
     the ROUNDED score + doc_id so both engines order bit-identically."""
-    docs = _docs(spark, sf_dir).withColumn("tokens", text.sql_tokens()).cache()
+    # cache holds only the two columns every branch needs — the full-row
+    # cache also materialized text/lang/source/n_chars per row (guide
+    # §2.3: narrower cached/shuffled rows)
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", text.sql_tokens().alias("tokens"))
+        .cache()
+    )
     tok = docs.select("doc_id", F.explode("tokens").alias("term"))
     dl = docs.select("doc_id", F.size("tokens").cast("long").alias("dl"))
     st = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
@@ -1324,7 +1345,14 @@ def q_hybrid_rrf(spark, sf_dir):
     space) by Σ 1/(60+rank), both lists ranked on their ROUNDED scores +
     id tiebreak so Spark and DuckDB rank identically.  Fusion cost is
     candidate-set-sized (N·k rows), never corpus-sized."""
-    docs = _docs(spark, sf_dir).withColumn("tokens", text.sql_tokens()).cache()
+    # cache holds only the two columns every branch needs — the full-row
+    # cache also materialized text/lang/source/n_chars per row (guide
+    # §2.3: narrower cached/shuffled rows)
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", text.sql_tokens().alias("tokens"))
+        .cache()
+    )
     tok = docs.select("doc_id", F.explode("tokens").alias("term"))
     dl = docs.select("doc_id", F.size("tokens").cast("long").alias("dl"))
     st = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
