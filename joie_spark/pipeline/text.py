@@ -186,17 +186,22 @@ def top_ngram_share(docs: DataFrame, n: int = 2) -> DataFrame:
     ties in the top count do not affect it, so the value is
     deterministic without a gram-name tiebreak."""
     d = with_tokens(docs).withColumn("_g", ngram_array(n))
-    top = F.expr(
-        "aggregate(array_sort(_g),"
-        " named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),"
-        " (acc, x) -> named_struct("
-        "   'prev', x,"
-        "   'run', CASE WHEN x <=> acc.prev THEN acc.run + 1L ELSE 1L END,"
-        "   'best', greatest(acc.best,"
-        "     CASE WHEN x <=> acc.prev THEN acc.run + 1L ELSE 1L END)),"
-        " acc -> acc.best)"
+    # coalesce: a NULL text tokenizes to NULL, and the old explode+join
+    # shape emitted (0, 0, 0.0) for such docs — keep that contract
+    top = F.coalesce(
+        F.expr(
+            "aggregate(array_sort(_g),"
+            " named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),"
+            " (acc, x) -> named_struct("
+            "   'prev', x,"
+            "   'run', CASE WHEN x <=> acc.prev THEN acc.run + 1L ELSE 1L END,"
+            "   'best', greatest(acc.best,"
+            "     CASE WHEN x <=> acc.prev THEN acc.run + 1L ELSE 1L END)),"
+            " acc -> acc.best)"
+        ),
+        F.lit(0).cast("long"),
     )
-    n_grams = F.size("_g").cast("long")
+    n_grams = F.coalesce(F.size("_g"), F.lit(0)).cast("long")
     d = d.withColumn("_ng", n_grams).withColumn("_top", top)
     return d.select(
         "doc_id",
