@@ -77,40 +77,23 @@ def bigram_model(
     `uni_buckets` and `bi_buckets` rows respectively (feature hashing:
     model size is fixed whatever the vocabulary), both broadcastable.
 
-    One pass over the reference (round 6): unigrams and bigrams explode
-    together as (tag, gram) structs from a single tokenize, and the
-    ≤ uni_buckets+bi_buckets count rows come back to the driver in one
-    job — the model tables are local relations (they were broadcast
-    anyway, and B is a fixed constant whatever the corpus size, so the
-    collect is bounded by construction).  Bucket values are unchanged
-    (same md5 recipe per tag)."""
-    d = with_tokens(reference)
-    tagged = F.expr(
-        "concat(transform(tokens, t -> struct(0 AS tag, t AS g)),"
-        " CASE WHEN size(tokens) < 2 THEN"
-        " array()"
-        " ELSE zip_with(slice(tokens, 1, size(tokens) - 1),"
-        " slice(tokens, 2, size(tokens) - 1),"
-        " (a, b) -> struct(1 AS tag, concat(a, ' ', b) AS g)) END)"
+    Deliberately TWO lazy aggregates, not one shared pass (round-6
+    measurement): both land as broadcast-exchange subtrees of the ONE
+    scoring job and execute in parallel with the corpus scan, so a
+    "fused" eager one-pass variant (tagged explode + driver collect)
+    measured ~8% SLOWER — it serializes model building in front of the
+    job instead of hiding it inside it."""
+    uni = (
+        _unigrams(reference)
+        .select(bucket_of(F.col("g"), uni_buckets, salt="ppl1"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("cu"))
     )
-    e = d.select(F.explode(tagged).alias("p")).select("p.tag", "p.g")
-    bucket = F.when(
-        F.col("tag") == 0, bucket_of(F.col("g"), uni_buckets, salt="ppl1")
-    ).otherwise(bucket_of(F.col("g"), bi_buckets, salt="ppl2"))
-    rows = (
-        e.select("tag", bucket.alias("bucket"))
-        .groupBy("tag", "bucket")
-        .agg(F.count("*").cast("long").alias("c"))
-        .collect()
-    )
-    spark = reference.sparkSession
-    uni = spark.createDataFrame(
-        [(int(r["bucket"]), int(r["c"])) for r in rows if r["tag"] == 0],
-        "bucket long, cu long",
-    )
-    bi = spark.createDataFrame(
-        [(int(r["bucket"]), int(r["c"])) for r in rows if r["tag"] == 1],
-        "bucket long, cb long",
+    bi = (
+        _bigrams(reference)
+        .select(bucket_of(F.col("g"), bi_buckets, salt="ppl2"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("cb"))
     )
     return uni, bi
 
